@@ -1,0 +1,367 @@
+"""WavLM-base speech encoder in Flax, numerically matching HF transformers.
+
+The reference wraps `transformers.WavLMModel` ("microsoft/wavlm-base") with a
+temporal pooler and an MLP head, plus two-stage finetuning helpers
+(`src/models/wavlm_audio.py:13-183`).  This is a from-scratch JAX
+implementation of that architecture — 7-layer conv feature extractor
+(group-norm on the first layer), feature projection, weight-normed positional
+conv embedding, and 12 post-norm transformer layers with WavLM's *gated
+relative position bias*: the T5-style bucketed relative bias is computed once
+(layer 0 owns the bucket embedding) and every layer modulates it with a
+per-head, per-query gate derived from its inputs
+(HF `WavLMAttention.forward`; paper: WavLM, Chen et al., 2022).
+
+Parameter tree mirrors HF torch state-dict paths under `wavlm.` so reference
+checkpoints convert with the generic converter (weight-norm on the positional
+conv is merged into a plain kernel by `normalize_torch_state_dict`).
+
+TPU notes: all shapes are static (3 s @ 16 kHz -> 149 frames); the relative
+position buckets are a compile-time numpy constant; attention lowers to batched
+MXU matmuls; masking (train-time SpecAugment-style span masking with
+`masked_spec_embed`) uses an explicit "wavlm_mask" RNG stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalemotionrecognition_tpu.models.temporal import TemporalPooler
+
+__all__ = ["WavLMConfig", "WavLMModel", "WavLMAudioEncoder"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    """microsoft/wavlm-base hyperparameters (HF WavLMConfig defaults)."""
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    apply_spec_augment: bool = True
+
+
+def _relative_position_buckets(
+    query_length: int, key_length: int, num_buckets: int, max_distance: int
+) -> np.ndarray:
+    """T5-style bidirectional relative position bucketing
+    (HF `WavLMAttention._relative_positions_bucket`). Static -> numpy."""
+    context = np.arange(query_length)[:, None]
+    memory = np.arange(key_length)[None, :]
+    relative = memory - context
+
+    nb = num_buckets // 2
+    buckets = (relative > 0).astype(np.int64) * nb
+    rel_abs = np.abs(relative)
+
+    max_exact = nb // 2
+    is_small = rel_abs < max_exact
+    with np.errstate(divide="ignore"):
+        rel_large = np.log(np.maximum(rel_abs, 1).astype(np.float64) / max_exact)
+    rel_large = rel_large / math.log(max_distance / max_exact)
+    rel_large = (max_exact + rel_large * (nb - max_exact)).astype(np.int64)
+    rel_large = np.minimum(rel_large, nb - 1)
+
+    buckets += np.where(is_small, rel_abs, rel_large)
+    return buckets
+
+
+class WavLMAttentionSelf(nn.Module):
+    """WavLM self-attention with gated relative position bias."""
+
+    config: WavLMConfig
+    has_relative_position_bias: bool
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        position_bias: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        dtype = self.dtype or hidden_states.dtype
+        b, t, e = hidden_states.shape
+        h = cfg.num_attention_heads
+        dh = e // h
+
+        if position_bias is None:
+            if not self.has_relative_position_bias:
+                raise ValueError("First layer must compute the position bias.")
+            buckets = _relative_position_buckets(
+                t, t, cfg.num_buckets, cfg.max_bucket_distance
+            )
+            rel_embed = nn.Embed(
+                cfg.num_buckets, h, dtype=dtype, name="rel_attn_embed"
+            )
+            values = rel_embed(jnp.asarray(buckets))  # [T, T, H]
+            position_bias = jnp.transpose(values, (2, 0, 1))  # [H, T, T]
+
+        # Gate computed from the raw layer input (HF WavLMAttention lines
+        # 165-180): per-head scalar per query position.
+        gated = hidden_states.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        proj = nn.Dense(8, dtype=dtype, name="gru_rel_pos_linear")(gated)
+        proj = proj.reshape(b, h, t, 2, 4).sum(-1)
+        gates = jax.nn.sigmoid(proj)
+        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B, H, T, 1]
+        const = self.param(
+            "gru_rel_pos_const", nn.initializers.ones, (1, h, 1, 1)
+        ).astype(dtype)
+        gate_output = gate_a * (gate_b * const - 1.0) + 2.0  # [B, H, T, 1]
+        gated_bias = gate_output * position_bias[None].astype(dtype)  # [B,H,T,T]
+
+        q = nn.Dense(e, dtype=dtype, name="q_proj")(hidden_states)
+        k = nn.Dense(e, dtype=dtype, name="k_proj")(hidden_states)
+        v = nn.Dense(e, dtype=dtype, name="v_proj")(hidden_states)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3) * (dh**-0.5)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum(
+            "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores + gated_bias.astype(scores.dtype)
+        attn = nn.softmax(scores, axis=-1).astype(dtype)
+        attn = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhls,bhsd->bhld", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, e)
+        out = nn.Dense(e, dtype=dtype, name="out_proj")(out)
+        return out, position_bias
+
+
+class WavLMEncoderLayer(nn.Module):
+    """Post-norm transformer layer (HF WavLMEncoderLayer, base variant)."""
+
+    config: WavLMConfig
+    has_relative_position_bias: bool
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        position_bias: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        dtype = self.dtype or hidden_states.dtype
+        attn_out, position_bias = WavLMAttentionSelf(
+            config=cfg,
+            has_relative_position_bias=self.has_relative_position_bias,
+            dtype=dtype,
+            name="attention",
+        )(hidden_states, position_bias, train=train)
+        attn_out = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(
+            attn_out
+        )
+        hidden_states = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
+        )(hidden_states + attn_out)
+
+        ff = nn.Dense(cfg.intermediate_size, dtype=dtype, name="feed_forward.intermediate_dense")(
+            hidden_states
+        )
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dropout(rate=cfg.activation_dropout, deterministic=not train)(ff)
+        ff = nn.Dense(cfg.hidden_size, dtype=dtype, name="feed_forward.output_dense")(ff)
+        ff = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(ff)
+        hidden_states = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_layer_norm"
+        )(hidden_states + ff)
+        return hidden_states, position_bias
+
+
+class WavLMModel(nn.Module):
+    """HF WavLMModel equivalent: waveform [B, T_samples] -> hidden [B, T, 768]."""
+
+    config: WavLMConfig = WavLMConfig()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, input_values: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        dtype = self.dtype or input_values.dtype
+
+        # --- feature extractor: 7 strided conv1d layers, NWC layout ---
+        x = input_values[..., None]  # [B, T, 1]
+        for i, (dim, stride, kernel) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_stride, cfg.conv_kernel)
+        ):
+            x = nn.Conv(
+                dim,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                padding="VALID",
+                use_bias=False,
+                dtype=dtype,
+                name=f"feature_extractor.conv_layers.{i}.conv",
+            )(x)
+            if i == 0:
+                # GroupNorm(groups=channels): per-channel norm over time
+                # (HF WavLMGroupNormConvLayer; torch GroupNorm eps=1e-5).
+                mean = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.var(x, axis=1, keepdims=True)
+                x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                scale = self.param(
+                    f"feature_extractor.conv_layers.{i}.layer_norm.scale",
+                    nn.initializers.ones,
+                    (dim,),
+                )
+                bias = self.param(
+                    f"feature_extractor.conv_layers.{i}.layer_norm.bias",
+                    nn.initializers.zeros,
+                    (dim,),
+                )
+                x = x * scale.astype(dtype) + bias.astype(dtype)
+            x = nn.gelu(x, approximate=False)
+
+        # --- feature projection ---
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="feature_projection.layer_norm"
+        )(x)
+        x = nn.Dense(cfg.hidden_size, dtype=dtype, name="feature_projection.projection")(x)
+        x = nn.Dropout(rate=cfg.feat_proj_dropout, deterministic=not train)(x)
+
+        # --- train-time span masking with the learned mask embedding ---
+        masked_spec_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,),
+        )
+        if train and cfg.apply_spec_augment and self.has_rng("wavlm_mask"):
+            x = self._mask_time(x, masked_spec_embed.astype(dtype))
+
+        # --- positional conv embedding (weight-norm folded into kernel) ---
+        pos = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.num_conv_pos_embeddings,),
+            padding=[(cfg.num_conv_pos_embeddings // 2,) * 2],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=dtype,
+            name="encoder.pos_conv_embed.conv",
+        )(x)
+        if cfg.num_conv_pos_embeddings % 2 == 0:
+            pos = pos[:, :-1, :]
+        pos = nn.gelu(pos, approximate=False)
+        x = x + pos
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="encoder.layer_norm"
+        )(x)
+        x = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(x)
+
+        position_bias = None
+        for i in range(cfg.num_hidden_layers):
+            x, position_bias = WavLMEncoderLayer(
+                config=cfg,
+                has_relative_position_bias=(i == 0),
+                dtype=dtype,
+                name=f"encoder.layers.{i}",
+            )(x, position_bias, train=train)
+        return x
+
+    def _mask_time(self, x: jnp.ndarray, mask_embed: jnp.ndarray) -> jnp.ndarray:
+        """SpecAugment-style span masking along time (behavioral equivalent of
+        HF `_compute_mask_indices`: ~mask_time_prob of starts, span length
+        mask_time_length)."""
+        cfg = self.config
+        b, t, _ = x.shape
+        rng = self.make_rng("wavlm_mask")
+        starts = jax.random.bernoulli(
+            rng, cfg.mask_time_prob, (b, t)
+        )  # span start indicators
+        # Dilate starts into spans of length mask_time_length with a max-pool.
+        window = cfg.mask_time_length
+        mask = jax.lax.reduce_window(
+            starts.astype(jnp.float32),
+            0.0,
+            jax.lax.max,
+            window_dimensions=(1, window),
+            window_strides=(1, 1),
+            padding=[(0, 0), (window - 1, 0)],
+        )
+        mask = mask[..., None].astype(bool)
+        return jnp.where(mask, mask_embed[None, None, :], x)
+
+
+class WavLMAudioEncoder(nn.Module):
+    """Reference `WavLMAudioEncoder` (`src/models/wavlm_audio.py:13-183`):
+    WavLM backbone + TemporalPooler + MLP head (768 -> 768 -> ReLU -> Dropout
+    -> num_classes).  Two-stage freezing lives in the optax trainer
+    (train/freeze.py) rather than on the module."""
+
+    num_classes: int
+    embedding_dim: int = 768
+    wavlm_config: WavLMConfig = WavLMConfig()
+    temporal_pooling: str = "mean"
+    temporal_num_heads: int = 4
+    temporal_num_layers: int = 1
+    temporal_dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def sequence_dim(self) -> int:
+        return self.wavlm_config.hidden_size
+
+    def setup(self) -> None:
+        self.wavlm = WavLMModel(config=self.wavlm_config, dtype=self.dtype)
+        self.temporal_pool = TemporalPooler(
+            dim=self.wavlm_config.hidden_size,
+            mode=self.temporal_pooling,
+            num_heads=self.temporal_num_heads,
+            num_layers=self.temporal_num_layers,
+            dropout=self.temporal_dropout,
+            dtype=self.dtype,
+        )
+        self.classifier_fc1 = nn.Dense(
+            self.embedding_dim, dtype=self.dtype, name="classifier.0"
+        )
+        self.classifier_fc2 = nn.Dense(
+            self.num_classes, dtype=self.dtype, name="classifier.3"
+        )
+        self.classifier_dropout = nn.Dropout(rate=0.2)
+
+    def encode_sequence(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Raw waveform [B, 1, T] or [B, T] -> hidden states [B, T', 768]."""
+        if x.ndim == 3:
+            x = x[:, 0, :]
+        return self.wavlm(x, train=train)
+
+    def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = self.encode_sequence(x, train=train)
+        emb = self.temporal_pool(hidden, train=train)
+        if emb.shape[-1] != self.embedding_dim:
+            emb = self.classifier_fc1(emb)
+        return emb
+
+    def _classify(self, emb: jnp.ndarray, train: bool) -> jnp.ndarray:
+        h = self.classifier_fc1(emb)
+        h = nn.relu(h)
+        h = self.classifier_dropout(h, deterministic=not train)
+        return self.classifier_fc2(h)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = self.encode_sequence(x, train=train)
+        emb = self.temporal_pool(hidden, train=train)
+        return self._classify(emb, train)

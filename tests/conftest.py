@@ -1,0 +1,28 @@
+"""Test environment: force CPU JAX with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (SURVEY.md §4 implication).
+
+The container pins JAX_PLATFORMS=axon (TPU tunnel) via sitecustomize; tests
+must run locally on CPU, so the platform is overridden through jax.config
+(the env var alone is ignored once the axon plugin has registered).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(0)
+    yield

@@ -1,0 +1,177 @@
+"""End-to-end numerical parity: Flax models vs torch oracles with converted
+weights (the BASELINE.json <=1e-3 logit-parity requirement, tested at 2e-4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from multimodalemotionrecognition_tpu.models.audio import AudioCNN, AudioNet, AudioResNet18
+from multimodalemotionrecognition_tpu.models.fusion import FusionModel
+from multimodalemotionrecognition_tpu.models.temporal import TemporalPooler
+from multimodalemotionrecognition_tpu.models.video import VideoNet
+
+from tests.helpers import assert_close, convert, randomize_bn_stats
+from tests.torch_ref import (
+    RefAudioNet,
+    RefFusionModel,
+    RefTemporalPooler,
+    RefVideoNet,
+)
+
+B = 2
+MEL = (B, 1, 64, 101)  # trimmed time axis for CPU test speed
+VIDEO = (B, 4, 3, 64, 64)
+
+
+def _mel_input():
+    return np.random.RandomState(0).randn(*MEL).astype(np.float32)
+
+
+def _video_input():
+    return np.random.RandomState(1).randn(*VIDEO).astype(np.float32)
+
+
+@pytest.mark.parametrize("mode", ["mean", "attn", "transformer"])
+def test_temporal_pooler_parity(mode):
+    dim, t = 32, 11
+    torch_pool = RefTemporalPooler(dim, mode=mode).eval()
+    x = np.random.randn(B, t, dim).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_pool(torch.from_numpy(x))
+    flax_pool = TemporalPooler(dim=dim, mode=mode)
+    jx = jnp.asarray(x)
+    variables, _ = convert(torch_pool, flax_pool, jx)
+    out = flax_pool.apply(variables, jx)
+    assert_close(out, ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_resnet", [False, True])
+def test_audio_net_parity(use_resnet):
+    torch_net = RefAudioNet(num_classes=8, use_resnet=use_resnet).eval()
+    randomize_bn_stats(torch_net)
+    x = _mel_input()
+    with torch.no_grad():
+        ref_logits = torch_net(torch.from_numpy(x))
+        ref_seq = torch_net.encode_sequence(torch.from_numpy(x))
+
+    flax_net = AudioNet(num_classes=8, use_resnet=use_resnet, spec_augment=False)
+    jx = jnp.asarray(x)
+    variables, report = convert(torch_net, flax_net, jx)
+    assert not report.unused_torch_keys, report.unused_torch_keys
+
+    logits = flax_net.apply(variables, jx)
+    assert_close(logits, ref_logits.numpy())
+    seq = flax_net.apply(variables, jx, method="encode_sequence")
+    assert seq.shape == (B, 16, 128)
+    assert_close(seq, ref_seq.numpy())
+
+
+def test_video_net_parity():
+    torch_net = RefVideoNet(num_classes=8).eval()
+    randomize_bn_stats(torch_net)
+    x = _video_input()
+    with torch.no_grad():
+        ref = torch_net(torch.from_numpy(x))
+    flax_net = VideoNet(num_classes=8)
+    jx = jnp.asarray(x)
+    variables, report = convert(torch_net, flax_net, jx)
+    assert not report.unused_torch_keys, report.unused_torch_keys
+    out = flax_net.apply(variables, jx)
+    assert_close(out, ref.numpy(), atol=5e-4, rtol=5e-4)
+
+
+def _flax_fusion(mode, **kwargs):
+    return FusionModel(
+        audio_model=AudioNet(num_classes=8, use_resnet=True, spec_augment=False),
+        video_model=VideoNet(num_classes=8),
+        num_classes=8,
+        mode=mode,
+        **kwargs,
+    )
+
+
+def _torch_fusion(mode, **kwargs):
+    m = RefFusionModel(
+        RefAudioNet(num_classes=8, use_resnet=True),
+        RefVideoNet(num_classes=8),
+        num_classes=8,
+        mode=mode,
+        **kwargs,
+    ).eval()
+    randomize_bn_stats(m)
+    return m
+
+
+@pytest.mark.parametrize(
+    "mode,kwargs",
+    [
+        ("late", {}),
+        ("concat", {}),
+        ("gated", {}),
+        ("concat", {"fusion_align_mode": "clip"}),
+    ],
+)
+def test_fusion_parity_embedding_modes(mode, kwargs):
+    torch_model = _torch_fusion(mode, **kwargs)
+    flax_kwargs = dict(kwargs)
+    flax_model = _flax_fusion(mode, **flax_kwargs)
+
+    video, audio = _video_input(), _mel_input()
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(video), torch.from_numpy(audio))
+
+    jv, ja = jnp.asarray(video), jnp.asarray(audio)
+    variables, _ = convert(torch_model, flax_model, jv, ja)
+    out, aux = flax_model.apply(variables, jv, ja)
+    assert_close(out, ref.numpy(), atol=5e-4, rtol=5e-4)
+
+    if kwargs.get("fusion_align_mode") == "clip":
+        assert aux["alignment_loss"] is not None
+        assert_close(
+            aux["alignment_loss"], torch_model.alignment_loss.numpy(), atol=1e-4
+        )
+
+
+@pytest.mark.parametrize(
+    "head,use_prior", [("concat", False), ("gated", False), ("concat", True)]
+)
+def test_fusion_parity_xattn(head, use_prior):
+    torch_model = _torch_fusion(
+        "xattn", xattn_head=head, use_emotion_prior=use_prior
+    )
+    flax_model = _flax_fusion(
+        "xattn",
+        xattn_head=head,
+        xattn_use_emotion_prior=use_prior,
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+    )
+    video, audio = _video_input(), _mel_input()
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(video), torch.from_numpy(audio))
+    jv, ja = jnp.asarray(video), jnp.asarray(audio)
+    variables, _ = convert(torch_model, flax_model, jv, ja)
+    out, _ = flax_model.apply(variables, jv, ja)
+    assert_close(out, ref.numpy(), atol=5e-4, rtol=5e-4)
+
+
+def test_fusion_gate_bias_init():
+    """Both gate linears initialize bias to -1.0 (reference
+    `_init_gated_fusion_bias`, src/models/fusion.py:329-336)."""
+    model = _flax_fusion("gated")
+    video, audio = jnp.asarray(_video_input()), jnp.asarray(_mel_input())
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    params = variables["params"]
+    assert (np.asarray(params["gate.0"]["bias"]) == -1.0).all()
+    assert (np.asarray(params["gate.3"]["bias"]) == -1.0).all()
+
+
+def test_late_fusion_returns_probabilities():
+    model = _flax_fusion("late")
+    video, audio = jnp.asarray(_video_input()), jnp.asarray(_mel_input())
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    out, _ = model.apply(variables, video, audio)
+    np.testing.assert_allclose(np.asarray(out.sum(axis=1)), 1.0, rtol=1e-5)
+    assert (np.asarray(out) >= 0).all()
