@@ -1,0 +1,317 @@
+"""Host-side media decode + preprocessing.
+
+Replaces the reference's librosa/torchaudio/OpenCV-per-sample stack
+(`src/data/ravdess.py:280-578`, `backend/app/preprocess.py`) with:
+
+  * video: OpenCV decode (FFMPEG backend) with uniform frame sampling,
+    first-frame face detection + bbox reuse, 30%-padded crop, resize, and the
+    reference's low-light augmentation distribution;
+  * audio: scipy WAV decode + polyphase resample to 16 kHz mono (librosa's
+    load contract: float32 in [-1, 1]), head-crop/zero-pad to 3 s, and the
+    SNR noise curriculum (50% clean / 40% @ {20,15,10} dB / 10% @ 5 dB).
+
+Mel extraction deliberately does NOT happen here: waveforms go to the device
+and the mel front-end runs as part of the jitted forward
+(`ops/mel.py`) so it fuses on TPU.  `load_audio_mel` exists for API parity and
+for CPU-side tooling.
+
+A C++ libav decoder (native/medialoader) can replace the cv2 path for
+throughput; this module is the always-available fallback with identical
+semantics.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from multimodalemotionrecognition_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+from multimodalemotionrecognition_tpu.data.face import (
+    crop_with_padding,
+    get_face_detector,
+)
+from multimodalemotionrecognition_tpu.ops.image import uniform_frame_indices
+
+__all__ = [
+    "load_video_frames",
+    "load_audio_wav",
+    "load_audio_mel",
+    "decode_wav_bytes",
+    "resample_waveform",
+    "augment_video_frames",
+    "mix_bar_noise",
+    "load_noise_bank",
+]
+
+_noise_cache: dict = {}
+
+
+def load_noise_bank(
+    noise_path: Path | str = Path("data") / "Noise" / "noise.wav",
+    sample_rate: int = 16000,
+) -> Optional[np.ndarray]:
+    """Cached bar-noise waveform (reference `_load_bar_noise`,
+    `src/data/ravdess.py:18-39`). None when the asset is absent."""
+    key = (str(noise_path), sample_rate)
+    if key in _noise_cache:
+        return _noise_cache[key]
+    p = Path(noise_path)
+    if not p.exists():
+        _noise_cache[key] = None
+        return None
+    try:
+        wav = load_audio_file(p, sample_rate)
+        _noise_cache[key] = wav
+        return wav
+    except Exception:
+        _noise_cache[key] = None
+        return None
+
+
+def decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAV container to (float32 mono [-1,1], sample_rate)."""
+    import io
+
+    from scipy.io import wavfile
+
+    sr, samples = wavfile.read(io.BytesIO(data))
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        wav = samples.astype(np.float32) / 32768.0
+    elif samples.dtype == np.int32:
+        wav = samples.astype(np.float32) / 2147483648.0
+    elif samples.dtype == np.uint8:
+        wav = (samples.astype(np.float32) - 128.0) / 128.0
+    else:
+        wav = samples.astype(np.float32)
+    if wav.ndim == 2:
+        wav = wav.mean(axis=1)  # librosa mono=True convention
+    return wav, int(sr)
+
+
+def resample_waveform(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample (scipy) to the target rate."""
+    if sr == target_sr:
+        return wav.astype(np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr, target_sr)
+    out = resample_poly(wav.astype(np.float64), target_sr // g, sr // g)
+    return out.astype(np.float32)
+
+
+def load_audio_file(path: Path | str, sample_rate: int = 16000) -> np.ndarray:
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        wav, sr = decode_wav_bytes(path.read_bytes())
+    else:
+        wav, sr = _decode_container_audio(path)
+    return resample_waveform(wav, sr, sample_rate)
+
+
+def _decode_container_audio(path: Path) -> tuple[np.ndarray, int]:
+    """Audio track from a non-WAV container (mp4/webm).  Uses the native
+    libav decoder when built; the reference shells out to ffmpeg for this
+    (`backend/app/preprocess.py:354-383`)."""
+    from multimodalemotionrecognition_tpu.native import medialoader
+
+    if medialoader.available():
+        wav, sr = medialoader.decode_audio(str(path))
+        return wav, sr
+    raise RuntimeError(
+        f"Cannot decode audio from {path.suffix} container: native medialoader "
+        "not built (run python -m multimodalemotionrecognition_tpu.native.build)"
+    )
+
+
+def mix_bar_noise(
+    wav: np.ndarray,
+    noise: Optional[np.ndarray],
+    rng: np.random.RandomState | np.random.Generator | None = None,
+) -> np.ndarray:
+    """Train-time noise curriculum, exact reference protocol
+    (`src/data/ravdess.py:417-476`): 50% clean; else SNR in {20,15,10} (40%)
+    or 5 dB (10%); random noise offset with repeat-if-short; power-matched
+    scale; Gaussian fallback when no noise bank; clamp [-1, 1]."""
+    r = rng or np.random
+    level = float(r.uniform(0.0, 1.0))
+    if level < 0.5:
+        return wav
+    if level < 0.9:
+        snr_db = float(r.choice([20.0, 15.0, 10.0]))
+    else:
+        snr_db = 5.0
+
+    target_len = wav.shape[-1]
+    power_sig = float(np.mean(wav**2))
+    snr_linear = 10.0 ** (snr_db / 10.0)
+    power_noise_target = power_sig / max(snr_linear, 1e-8)
+
+    if noise is not None:
+        bank = noise
+        if bank.shape[-1] < target_len:
+            reps = target_len // bank.shape[-1] + 1
+            bank = np.tile(bank, reps)
+        max_start = max(0, bank.shape[-1] - target_len)
+        start = int(r.randint(0, max_start + 1)) if max_start > 0 else 0
+        seg = bank[start : start + target_len]
+        power_seg = float(np.mean(seg**2))
+        if power_seg > 1e-8:
+            seg = seg * np.sqrt(power_noise_target / power_seg)
+        out = wav + seg
+    else:
+        gauss = r.normal(0.0, np.sqrt(power_noise_target), wav.shape).astype(
+            np.float32
+        )
+        out = wav + gauss
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def load_audio_wav(
+    audio_path: Path | str,
+    sample_rate: int = 16000,
+    duration_sec: float = 3.0,
+    augment: bool = False,
+    noise_bank: Optional[np.ndarray] = None,
+    rng=None,
+) -> np.ndarray:
+    """Raw waveform [1, target_len] (reference `load_audio_wav`,
+    `src/data/ravdess.py:488-578`): head-crop long audio, zero-pad short."""
+    wav = load_audio_file(audio_path, sample_rate)
+    target_len = int(sample_rate * duration_sec)
+    if wav.shape[-1] < target_len:
+        wav = np.pad(wav, (0, target_len - wav.shape[-1]))
+    else:
+        wav = wav[:target_len]
+    if augment:
+        bank = noise_bank if noise_bank is not None else load_noise_bank(sample_rate=sample_rate)
+        wav = mix_bar_noise(wav, bank, rng=rng)
+    return wav[None, :].astype(np.float32)
+
+
+def load_audio_mel(
+    audio_path: Path | str,
+    sample_rate: int = 16000,
+    duration_sec: float = 3.0,
+    n_mels: int = 64,
+    win_length: int = 400,
+    hop_length: int = 160,
+    augment: bool = False,
+    noise_bank: Optional[np.ndarray] = None,
+    rng=None,
+) -> np.ndarray:
+    """Log-mel [1, n_mels, frames] (reference `load_audio_mel`,
+    `src/data/ravdess.py:393-485`).  Prefer shipping the raw waveform to the
+    device and fusing mel into the forward; this exists for parity/tooling."""
+    from multimodalemotionrecognition_tpu.ops.mel import log_mel_spectrogram
+
+    wav = load_audio_wav(
+        audio_path,
+        sample_rate=sample_rate,
+        duration_sec=duration_sec,
+        augment=augment,
+        noise_bank=noise_bank,
+        rng=rng,
+    )
+    mel = log_mel_spectrogram(
+        wav,
+        sample_rate=sample_rate,
+        win_length=win_length,
+        hop_length=hop_length,
+        n_mels=n_mels,
+    )
+    return np.asarray(mel)
+
+
+def augment_video_frames(
+    frames01: np.ndarray, rng=None
+) -> np.ndarray:
+    """Low-light venue augmentation on [T, H, W, 3] float in [0,1]
+    (reference `src/data/ravdess.py:366-384`): Gaussian blur k in {3,5,7},
+    brightness x U(0.2, 0.6), Gaussian noise sigma ~ U(0, 5e-4), clip."""
+    import cv2
+
+    r = rng or np.random
+    factor = float(r.uniform(0.2, 0.6))
+    noise_scale = float(r.uniform(0.0, 0.0005))
+    ksize = int(r.choice([3, 5, 7]))
+    out = np.empty_like(frames01)
+    for i in range(frames01.shape[0]):
+        img = (frames01[i] * 255.0).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (ksize, ksize), 0)
+        img = img.astype(np.float32) / 255.0
+        img = img * factor
+        if noise_scale > 0:
+            img = img + r.normal(0, noise_scale, img.shape).astype(np.float32)
+        out[i] = np.clip(img, 0.0, 1.0)
+    return out
+
+
+def load_video_frames(
+    video_path: Path | str,
+    num_frames: int = 8,
+    size: int = 112,
+    augment: bool = False,
+    use_face_crop: bool = True,
+    bbox=None,
+    rng=None,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Decode + preprocess video to [T, 3, size, size]
+    (reference `load_video_frames`, `src/data/ravdess.py:280-390`).
+
+    Face bbox is detected on the FIRST sampled frame only and reused
+    (`:314-348`); pass `bbox` explicitly to inject reference crops for parity
+    runs.  Failures fall back to the full frame silently.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    indices = uniform_frame_indices(total, num_frames)
+    idx_set = set(indices)
+    frames = []
+    current = 0
+    detected_bbox = bbox
+
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if current in idx_set:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if use_face_crop:
+                try:
+                    if detected_bbox is None:
+                        detector = get_face_detector()
+                        if detector is not None:
+                            detected_bbox = detector.detect_face_bbox(frame)
+                    if detected_bbox is not None:
+                        frame = crop_with_padding(frame, detected_bbox, pad_ratio=0.3)
+                except Exception:
+                    pass  # full-frame fallback, like the reference
+            frame = cv2.resize(frame, (size, size), interpolation=cv2.INTER_LINEAR)
+            frames.append(frame)
+        current += 1
+        if len(frames) >= len(indices):
+            break
+    cap.release()
+
+    if not frames:
+        frames = [np.zeros((size, size, 3), dtype=np.uint8)] * num_frames
+    if len(frames) < num_frames:
+        frames.extend([frames[-1]] * (num_frames - len(frames)))
+    arr = np.stack(frames[:num_frames]).astype(np.float32) / 255.0  # [T,H,W,3]
+
+    if augment:
+        arr = augment_video_frames(arr, rng=rng)
+
+    if normalize:
+        mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
+        std = np.asarray(IMAGENET_STD, dtype=np.float32)
+        arr = (arr - mean) / std
+    return arr.transpose(0, 3, 1, 2)  # [T, 3, H, W]

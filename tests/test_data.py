@@ -1,0 +1,390 @@
+"""Data layer tests: pairing/splits/labels, media decode (incl. the native
+libav decoder), noise curriculum, face crop, and the prefetching pipeline.
+
+Mirrors the reference's fixture strategy (fabricated RAVDESS trees,
+`tests/test_data_services.py:28-47`) plus real decode coverage the reference
+lacks, using synthetic cv2-written videos and scipy-written WAVs."""
+
+import struct
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multimodalemotionrecognition_tpu.config import DataConfig, VideoConfig
+from multimodalemotionrecognition_tpu.data import (
+    build_pairs,
+    map_emotion_label,
+    parse_ravdess_name,
+    split_pairs_by_actor,
+    split_pairs_stratified,
+)
+from multimodalemotionrecognition_tpu.data.face import (
+    HeuristicFaceDetector,
+    crop_with_padding,
+)
+from multimodalemotionrecognition_tpu.data.media import (
+    load_audio_wav,
+    load_video_frames,
+    mix_bar_noise,
+    resample_waveform,
+)
+
+
+# ---------------------------------------------------------------------------
+# metadata layer
+# ---------------------------------------------------------------------------
+
+
+def _touch_tree(root: Path, names):
+    for name in names:
+        p = root / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch()
+
+
+class TestPairing:
+    def test_parse_name(self):
+        fields = parse_ravdess_name("02-01-06-01-02-01-12.mp4")
+        assert fields == {
+            "modality": 2,
+            "vocal_channel": 1,
+            "emotion": 6,
+            "intensity": 1,
+            "statement": 2,
+            "repetition": 1,
+            "actor": 12,
+        }
+        with pytest.raises(ValueError):
+            parse_ravdess_name("not-a-ravdess-file.mp4")
+
+    def test_build_pairs_excludes_unpaired(self, tmp_path):
+        _touch_tree(
+            tmp_path,
+            [
+                "Actor_01/02-01-03-01-01-01-01.mp4",  # video, has audio twin
+                "Actor_01/03-01-03-01-01-01-01.wav",
+                "Actor_01/02-01-04-01-01-01-01.mp4",  # video, no audio twin
+                "Actor_02/03-01-05-01-01-01-02.wav",  # audio, no video twin
+                "Actor_02/02-02-05-01-01-01-02.mp4",  # wrong vocal channel
+                "Actor_02/junk.txt",
+            ],
+        )
+        pairs = build_pairs(tmp_path)
+        assert len(pairs) == 1
+        assert pairs[0].emotion == 3 and pairs[0].actor == 1
+
+    def test_label_maps(self):
+        assert [map_emotion_label(e, 8) for e in range(1, 9)] == list(range(8))
+        assert [map_emotion_label(e, 4) for e in range(1, 9)] == [
+            0, 0, 1, 2, 2, 2, 2, 3,
+        ]
+        with pytest.raises(ValueError):
+            map_emotion_label(1, 5)
+
+    def test_actor_split(self, tmp_path):
+        names = [
+            f"Actor_{a:02d}/0{m}-01-03-01-01-01-{a:02d}.{e}"
+            for a in range(1, 7)
+            for m, e in [(2, "mp4"), (3, "wav")]
+        ]
+        _touch_tree(tmp_path, names)
+        pairs = build_pairs(tmp_path)
+        train, val, test = split_pairs_by_actor(pairs, [1, 2, 3], [4], [5, 6])
+        assert [p.actor for p in train] == [1, 2, 3]
+        assert [p.actor for p in val] == [4]
+        assert [p.actor for p in test] == [5, 6]
+
+    def test_stratified_split_deterministic(self, tmp_path):
+        names = []
+        for a in range(1, 11):
+            for emo in range(1, 9):
+                names += [
+                    f"Actor_{a:02d}/02-01-0{emo}-01-01-01-{a:02d}.mp4",
+                    f"Actor_{a:02d}/03-01-0{emo}-01-01-01-{a:02d}.wav",
+                ]
+        _touch_tree(tmp_path, names)
+        pairs = build_pairs(tmp_path)
+        t1, v1, s1 = split_pairs_stratified(pairs, seed=42)
+        t2, v2, s2 = split_pairs_stratified(pairs, seed=42)
+        assert [p.video_path for p in t1] == [p.video_path for p in t2]
+        assert len(t1) + len(v1) + len(s1) == len(pairs)
+        # ratios hold per emotion: 10 per class -> 7/1/2 with floor sizing
+        emotions = {e: sum(1 for p in t1 if p.emotion == e) for e in range(1, 9)}
+        assert all(v == 7 for v in emotions.values())
+
+
+# ---------------------------------------------------------------------------
+# audio decode + curriculum
+# ---------------------------------------------------------------------------
+
+
+def _write_wav(path: Path, wav: np.ndarray, sr: int):
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        pcm = np.clip(wav * 32767, -32768, 32767).astype("<i2")
+        f.writeframes(pcm.tobytes())
+
+
+class TestAudio:
+    def test_load_audio_wav_pads_and_crops(self, tmp_path):
+        sr = 16000
+        short = tmp_path / "short.wav"
+        _write_wav(short, 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr), sr)
+        out = load_audio_wav(short)
+        assert out.shape == (1, 48000)
+        assert np.abs(out[0, :sr]).max() > 0.3
+        assert np.abs(out[0, sr:]).max() == 0.0  # zero pad tail
+
+        long = tmp_path / "long.wav"
+        _write_wav(long, np.ones(5 * sr) * 0.25, sr)
+        out = load_audio_wav(long)
+        assert out.shape == (1, 48000)  # head crop
+
+    def test_resample_441_to_16k(self, tmp_path):
+        sr = 44100
+        t = np.arange(sr) / sr
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+        out = resample_waveform(tone.astype(np.float32), sr, 16000)
+        assert abs(len(out) - 16000) <= 2
+        # dominant frequency preserved
+        spec = np.abs(np.fft.rfft(out[:16000]))
+        assert abs(np.argmax(spec) - 440) <= 2
+
+    def test_mix_bar_noise_snr(self):
+        rng = np.random.RandomState(1)
+        wav = (0.1 * np.sin(2 * np.pi * 440 * np.arange(48000) / 16000)).astype(
+            np.float32
+        )
+        noise = rng.randn(96000).astype(np.float32)
+
+        class ForceNoisy:
+            """RNG stub driving the 10 dB branch deterministically."""
+
+            def uniform(self, a, b):
+                return 0.6  # noisy, light band
+
+            def choice(self, opts):
+                return 10.0
+
+            def randint(self, a, b):
+                return 0
+
+        out = mix_bar_noise(wav, noise, rng=ForceNoisy())
+        resid = out - wav
+        snr_db = 10 * np.log10(np.mean(wav**2) / np.mean(resid**2))
+        assert 8.5 < snr_db < 11.5  # 10 dB target (clamp adds slight error)
+
+    def test_mix_gaussian_fallback(self):
+        wav = (0.1 * np.ones(48000)).astype(np.float32)
+
+        class ForceHeavy:
+            def uniform(self, a, b):
+                return 0.95  # heavy: 5 dB
+
+            def normal(self, mu, sigma, shape):
+                return np.random.RandomState(0).normal(mu, sigma, shape)
+
+        out = mix_bar_noise(wav, None, rng=ForceHeavy())
+        assert not np.allclose(out, wav)
+
+
+# ---------------------------------------------------------------------------
+# video decode + face crop
+# ---------------------------------------------------------------------------
+
+
+def _write_video(path: Path, frames_rgb: np.ndarray, fps: int = 10):
+    import cv2
+
+    h, w = frames_rgb.shape[1:3]
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    assert writer.isOpened(), "cv2 VideoWriter failed to open"
+    for f in frames_rgb:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def _synthetic_face_video(n=20, h=120, w=160):
+    """Dark background with a skin-tone rectangle 'face' moving slightly."""
+    frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+    frames[:] = (20, 25, 30)
+    for i in range(n):
+        y0, x0 = 30 + (i % 3), 50 + (i % 3)
+        frames[i, y0 : y0 + 50, x0 : x0 + 40] = (200, 140, 110)  # skin tone
+    return frames
+
+
+class TestVideo:
+    def test_load_video_frames_shapes_and_norm(self, tmp_path):
+        vid = tmp_path / "02-01-03-01-01-01-01.mp4"
+        _write_video(vid, _synthetic_face_video())
+        out = load_video_frames(vid, num_frames=8, size=112, use_face_crop=False)
+        assert out.shape == (8, 3, 112, 112)
+        # ImageNet normalization applied: dark pixels go negative
+        assert out.min() < -1.0
+
+    def test_face_crop_changes_pixels(self, tmp_path):
+        vid = tmp_path / "02-01-03-01-01-01-01.mp4"
+        _write_video(vid, _synthetic_face_video())
+        full = load_video_frames(vid, num_frames=4, use_face_crop=False)
+        cropped = load_video_frames(vid, num_frames=4, use_face_crop=True)
+        assert not np.allclose(full, cropped)
+        # cropped view has higher mean (face fills the frame)
+        assert cropped.mean() > full.mean()
+
+    def test_injected_bbox(self, tmp_path):
+        vid = tmp_path / "02-01-03-01-01-01-01.mp4"
+        _write_video(vid, _synthetic_face_video())
+        a = load_video_frames(vid, num_frames=2, bbox=(50, 30, 40, 50))
+        b = load_video_frames(vid, num_frames=2, bbox=(50, 30, 40, 50))
+        np.testing.assert_array_equal(a, b)
+
+    def test_short_video_repeats_last_frame(self, tmp_path):
+        vid = tmp_path / "02-01-03-01-01-01-01.mp4"
+        _write_video(vid, _synthetic_face_video(n=3))
+        out = load_video_frames(vid, num_frames=8, use_face_crop=False)
+        np.testing.assert_array_equal(out[3], out[7])
+
+
+class TestFaceCrop:
+    def test_crop_with_padding_math(self):
+        img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+        out = crop_with_padding(img, (40, 40, 20, 20), pad_ratio=0.3)
+        # pad = 6 -> rows/cols 34..66
+        assert out.shape == (32, 32, 3)
+        np.testing.assert_array_equal(out, img[34:66, 34:66])
+
+    def test_crop_clips_to_image(self):
+        img = np.zeros((50, 50, 3), dtype=np.uint8)
+        out = crop_with_padding(img, (0, 0, 45, 45), pad_ratio=0.3)
+        assert out.shape == (50, 50, 3)
+
+    def test_heuristic_detector_finds_skin_patch(self):
+        img = np.zeros((120, 160, 3), dtype=np.uint8)
+        img[30:80, 50:90] = (200, 140, 110)
+        bbox = HeuristicFaceDetector().detect_face_bbox(img)
+        assert bbox is not None
+        x, y, w, h = bbox
+        assert 40 <= x <= 60 and 20 <= y <= 40
+        assert 25 <= w <= 55 and 35 <= h <= 65
+
+    def test_heuristic_detector_none_on_blank(self):
+        img = np.zeros((120, 160, 3), dtype=np.uint8)
+        assert HeuristicFaceDetector().detect_face_bbox(img) is None
+
+
+# ---------------------------------------------------------------------------
+# native decoder (libav)
+# ---------------------------------------------------------------------------
+
+
+class TestNativeMedialoader:
+    def test_available_and_audio_decode(self, tmp_path):
+        from multimodalemotionrecognition_tpu.native import medialoader
+
+        if not medialoader.available():
+            pytest.skip("native medialoader not built")
+        sr = 22050
+        tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+        wav_path = tmp_path / "tone.wav"
+        _write_wav(wav_path, tone, sr)
+        out, rate = medialoader.decode_audio(str(wav_path), target_rate=16000)
+        assert rate == 16000
+        assert abs(len(out) - 16000) < 200
+        spec = np.abs(np.fft.rfft(out[:16000]))
+        assert abs(np.argmax(spec) - 440) <= 2
+
+    def test_video_decode_matches_cv2(self, tmp_path):
+        from multimodalemotionrecognition_tpu.native import medialoader
+
+        if not medialoader.available():
+            pytest.skip("native medialoader not built")
+        vid = tmp_path / "clip.mp4"
+        frames = _synthetic_face_video(n=10)
+        _write_video(vid, frames)
+        out = medialoader.decode_video_frames(str(vid), [0, 4, 9], 160, 120)
+        assert out.shape == (3, 120, 160, 3)
+        # same codec round trip as cv2 — compare against source colors loosely
+        assert abs(int(out[0, 50, 60, 0]) - 200) < 30  # skin-tone red channel
+
+    def test_probe(self, tmp_path):
+        from multimodalemotionrecognition_tpu.native import medialoader
+
+        if not medialoader.available():
+            pytest.skip("native medialoader not built")
+        vid = tmp_path / "clip.mp4"
+        _write_video(vid, _synthetic_face_video(n=10), fps=10)
+        info = medialoader.probe(str(vid))
+        assert info["frames"] == 10
+        assert abs(info["fps"] - 10.0) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+class TestPipeline:
+    def _make_dataset(self, tmp_path, n_actors=2):
+        for a in range(1, n_actors + 1):
+            for emo in (3, 5):
+                vid = tmp_path / f"Actor_{a:02d}" / f"02-01-0{emo}-01-01-01-{a:02d}.mp4"
+                wav = tmp_path / f"Actor_{a:02d}" / f"03-01-0{emo}-01-01-01-{a:02d}.wav"
+                vid.parent.mkdir(parents=True, exist_ok=True)
+                _write_video(vid, _synthetic_face_video(n=6))
+                _write_wav(wav, 0.1 * np.random.RandomState(a).randn(16000), 16000)
+        return tmp_path
+
+    def test_batched_loader_shapes_and_padding(self, tmp_path):
+        from multimodalemotionrecognition_tpu.data.pipeline import (
+            BatchedLoader,
+            EmotionSampleLoader,
+        )
+
+        root = self._make_dataset(tmp_path)
+        pairs = build_pairs(root)
+        assert len(pairs) == 4
+        cfg = DataConfig(
+            data_root=str(root),
+            video=VideoConfig(num_frames=4, size=64),
+            use_face_crop=False,
+            train_augment=False,
+        )
+        loader = BatchedLoader(
+            pairs, EmotionSampleLoader(cfg), batch_size=3, num_threads=2
+        )
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert b.video.shape == (3, 4, 3, 64, 64)
+            assert b.audio.shape == (3, 1, 48000)
+            assert b.labels.dtype == np.int32
+        assert batches[0].size == 3 and batches[1].size == 1
+        assert not batches[1].valid[1]  # padded tail
+
+    def test_shuffle_is_deterministic_per_epoch(self, tmp_path):
+        from multimodalemotionrecognition_tpu.data.pipeline import (
+            BatchedLoader,
+            EmotionSampleLoader,
+        )
+
+        root = self._make_dataset(tmp_path)
+        pairs = build_pairs(root)
+        cfg = DataConfig(
+            data_root=str(root),
+            video=VideoConfig(num_frames=2, size=32),
+            use_face_crop=False,
+        )
+        mk = lambda: BatchedLoader(
+            pairs, EmotionSampleLoader(cfg), batch_size=4, shuffle=True, seed=7,
+            num_threads=2,
+        )
+        l1, l2 = mk(), mk()
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        np.testing.assert_array_equal(b1.labels, b2.labels)
