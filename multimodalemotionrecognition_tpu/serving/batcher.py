@@ -1,0 +1,312 @@
+"""Dynamic batcher + task store: the TPU-side replacement for the reference's
+Redis queue + batch worker (`src/inference_server.py:53-151`,
+`src/inference_worker.py:46-219`).
+
+The external contract is preserved exactly — task lifecycle hash
+(status/filename/submitted_at -> completed_at/result | failed_at/error), TTLs
+(result 3600 s, payload 600 s), batch assembly (first task blocks, then drain
+until batch_size=8 or batch_timeout=20 ms), thread-pool preprocessing, the
+worker result JSON ({task_id, worker_name, labels, probs 0..1 rounded to 6,
+top1, queue_delay_ms, processed_at}), and whole-batch failure marking — but
+the transport is an in-process asyncio queue feeding ONE jitted TPU model with
+static-shape batch buckets, instead of Redis TCP round-trips.  A Redis
+transport can front multiple hosts; within a host this batcher is the worker.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from multimodalemotionrecognition_tpu.config import ServeConfig
+
+__all__ = ["TaskStore", "InferenceGateway", "DynamicBatcher", "GatewayError"]
+
+
+class GatewayError(Exception):
+    """HTTP-mappable error (mirrors fastapi.HTTPException usage)."""
+
+    def __init__(self, status_code: int, detail: Any):
+        super().__init__(str(detail))
+        self.status_code = status_code
+        self.detail = detail
+
+
+class TaskStore:
+    """In-memory task hash + payload store with Redis-equivalent TTL
+    semantics (`emo:task:{id}` / `emo:task:{id}:payload`)."""
+
+    def __init__(self, config: ServeConfig):
+        self.config = config
+        self._tasks: Dict[str, Tuple[float, Dict[str, Any]]] = {}  # (expiry, hash)
+        self._payloads: Dict[str, Tuple[float, bytes]] = {}
+        self._events: Dict[str, asyncio.Event] = {}
+
+    def _now(self) -> float:
+        return time.time()
+
+    def _sweep(self) -> None:
+        now = self._now()
+        for d in (self._tasks, self._payloads):
+            for k in [k for k, (exp, _) in d.items() if exp < now]:
+                d.pop(k, None)
+
+    def create_task(self, filename: str, payload: bytes) -> str:
+        self._sweep()
+        task_id = str(uuid.uuid4())
+        now = self._now()
+        self._tasks[task_id] = (
+            now + self.config.result_ttl_sec,
+            {
+                "status": "queued",
+                "filename": filename or "upload.mp4",
+                "submitted_at": str(now),
+            },
+        )
+        self._payloads[task_id] = (now + self.config.payload_ttl_sec, payload)
+        self._events[task_id] = asyncio.Event()
+        return task_id
+
+    def get_task(self, task_id: str) -> Optional[Dict[str, Any]]:
+        self._sweep()
+        entry = self._tasks.get(task_id)
+        return dict(entry[1]) if entry else None
+
+    def get_payload(self, task_id: str) -> Optional[bytes]:
+        self._sweep()
+        entry = self._payloads.get(task_id)
+        return entry[1] if entry else None
+
+    def update_task(self, task_id: str, mapping: Dict[str, Any]) -> None:
+        entry = self._tasks.get(task_id)
+        base = entry[1] if entry else {}
+        base.update(mapping)
+        self._tasks[task_id] = (self._now() + self.config.result_ttl_sec, base)
+        ev = self._events.get(task_id)
+        if ev is not None and base.get("status") in {"completed", "failed"}:
+            ev.set()
+
+    def delete_payload(self, task_id: str) -> None:
+        self._payloads.pop(task_id, None)
+
+    def event_for(self, task_id: str) -> Optional[asyncio.Event]:
+        return self._events.get(task_id)
+
+
+class InferenceGateway:
+    """Submit/await facade over the task store + batcher queue
+    (reference RedisInferenceGateway, `src/inference_server.py:53-151`)."""
+
+    def __init__(self, config: ServeConfig, store: Optional[TaskStore] = None):
+        self.config = config
+        self.store = store or TaskStore(config)
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.started_at = time.time()
+
+    async def submit(self, filename: str, payload: bytes) -> str:
+        if not payload:
+            raise GatewayError(400, "Uploaded file is empty.")
+        task_id = self.store.create_task(filename, payload)
+        await self.queue.put(task_id)
+        return task_id
+
+    async def submit_many(self, items: List[Tuple[str, bytes]]) -> List[str]:
+        return [await self.submit(f, p) for f, p in items]
+
+    async def get_result(self, task_id: str) -> Dict[str, Any]:
+        task = self.store.get_task(task_id)
+        if not task:
+            raise GatewayError(404, f"Task not found: {task_id}")
+        return task
+
+    async def wait_for_result(
+        self, task_id: str, timeout_sec: Optional[float] = None
+    ) -> Dict[str, Any]:
+        timeout = (
+            self.config.predict_timeout_sec if timeout_sec is None else float(timeout_sec)
+        )
+        ev = self.store.event_for(task_id)
+        if ev is not None:
+            try:
+                await asyncio.wait_for(ev.wait(), timeout=max(0.1, timeout))
+            except asyncio.TimeoutError:
+                task = self.store.get_task(task_id)
+                status = task.get("status") if task else None
+                raise GatewayError(202, {"task_id": task_id, "status": status})
+        result = await self.get_result(task_id)
+        status = result.get("status")
+        if status == "completed":
+            return result["result"]
+        if status == "failed":
+            raise GatewayError(500, result.get("error", "Inference failed."))
+        raise GatewayError(202, {"task_id": task_id, "status": status})
+
+    def queue_stats(self) -> Dict[str, Any]:
+        """Byte-compatible with the reference's /queue/status payload
+        (`src/inference_server.py:123-134`)."""
+        import os
+
+        return {
+            "redis_url": os.environ.get("EMO_REDIS_URL", "redis://localhost:6379/0"),
+            "queue_key": self.config.queue_name,
+            "queue_size": self.queue.qsize(),
+            "batch_size": self.config.batch_size,
+            "batch_timeout_ms": int(self.config.batch_timeout_ms),
+            "worker_count_hint": 1,
+            "uptime_sec": round(time.time() - self.started_at, 2),
+        }
+
+
+class DynamicBatcher:
+    """Collects queued tasks into static-shape batches and runs the jitted
+    model (reference RedisBatchWorker, `src/inference_worker.py:46-219`)."""
+
+    def __init__(
+        self,
+        gateway: InferenceGateway,
+        runner,
+        config: Optional[ServeConfig] = None,
+        preprocess=None,
+        preprocess_workers: int = 4,
+    ):
+        from multimodalemotionrecognition_tpu.serving.preprocess import (
+            EmotionPreprocessService,
+        )
+
+        from multimodalemotionrecognition_tpu.utils.profiling import StageTimer
+
+        self.gateway = gateway
+        self.runner = runner
+        self.config = config or gateway.config
+        self.preprocess = preprocess or EmotionPreprocessService()
+        self.pool = ThreadPoolExecutor(max_workers=max(1, preprocess_workers))
+        self._stop = asyncio.Event()
+        self.timer = StageTimer()
+
+    async def run(self) -> None:
+        while not self._stop.is_set():
+            task_ids = await self._pop_batch()
+            if task_ids:
+                await self._process_batch(task_ids)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    async def _pop_batch(self) -> List[str]:
+        try:
+            first = await asyncio.wait_for(self.gateway.queue.get(), timeout=1.0)
+        except asyncio.TimeoutError:
+            return []
+        task_ids = [first]
+        deadline = time.monotonic() + self.config.batch_timeout_ms / 1000.0
+        while len(task_ids) < self.config.batch_size:
+            try:
+                task_ids.append(self.gateway.queue.get_nowait())
+            except asyncio.QueueEmpty:
+                if time.monotonic() >= deadline:
+                    break
+                await asyncio.sleep(0.001)
+        return task_ids
+
+    def _preprocess_item(self, item: Dict[str, Any]) -> Dict[str, Any]:
+        import tempfile
+        from pathlib import Path
+
+        suffix = Path(item["filename"]).suffix or ".mp4"
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
+            tmp.write(item["payload"])
+            media_path = Path(tmp.name)
+        try:
+            video, audio = self.preprocess.preprocess_video_audio(
+                media_path,
+                use_face_crop=True,
+                use_wavlm=bool(getattr(self.runner, "use_wavlm", False)),
+            )
+            return {
+                "task_id": item["task_id"],
+                "submitted_at": item["submitted_at"],
+                "video": video[0],
+                "audio": audio[0],
+            }
+        finally:
+            media_path.unlink(missing_ok=True)
+
+    async def _process_batch(self, task_ids: List[str]) -> None:
+        store = self.gateway.store
+        infos = []
+        for task_id in task_ids:
+            task = store.get_task(task_id)
+            payload = store.get_payload(task_id)
+            if not task or payload is None:
+                self._mark_failed(task_id, "Task payload missing or expired.")
+                continue
+            infos.append(
+                {
+                    "task_id": task_id,
+                    "filename": task.get("filename", "upload.mp4"),
+                    "submitted_at": float(task.get("submitted_at", str(time.time()))),
+                    "payload": payload,
+                }
+            )
+        if not infos:
+            return
+
+        loop = asyncio.get_running_loop()
+        try:
+            with self.timer.stage("preprocess"):
+                prepared = await asyncio.gather(
+                    *(loop.run_in_executor(self.pool, self._preprocess_item, i) for i in infos)
+                )
+                videos = np.stack([p["video"] for p in prepared])
+                audios = np.stack([p["audio"] for p in prepared])
+            with self.timer.stage("infer"):
+                probs = await loop.run_in_executor(
+                    None, self.runner.predict_probs, videos, audios
+                )
+            self.timer.record("batch_size", float(len(infos)))
+            labels = list(self.runner.labels)
+            for row, item in zip(probs, prepared):
+                top_idx = int(np.argmax(row))
+                result = {
+                    "task_id": item["task_id"],
+                    "worker_name": self.config.worker_name,
+                    "labels": labels,
+                    "probs": [round(float(x), 6) for x in row.tolist()],
+                    "top1": {
+                        "label": labels[top_idx],
+                        "prob": round(float(row[top_idx]), 6),
+                    },
+                    "queue_delay_ms": round(
+                        (time.time() - item["submitted_at"]) * 1000.0, 2
+                    ),
+                    "processed_at": time.time(),
+                }
+                self._mark_completed(item["task_id"], result)
+        except Exception as exc:
+            # Whole-batch failure marking — reference behavior
+            # (`src/inference_worker.py:148-150`).
+            for item in infos:
+                self._mark_failed(item["task_id"], str(exc))
+
+    def _mark_completed(self, task_id: str, result: Dict[str, Any]) -> None:
+        self.gateway.store.update_task(
+            task_id,
+            {
+                "status": "completed",
+                "completed_at": str(time.time()),
+                "result": result,
+            },
+        )
+        self.gateway.store.delete_payload(task_id)
+
+    def _mark_failed(self, task_id: str, error: str) -> None:
+        self.gateway.store.update_task(
+            task_id,
+            {"status": "failed", "failed_at": str(time.time()), "error": error},
+        )
+        self.gateway.store.delete_payload(task_id)

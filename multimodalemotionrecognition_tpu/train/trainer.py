@@ -1,0 +1,514 @@
+"""Training harness: optax two-stage finetuning under jit over a device mesh.
+
+Functional re-implementation of the reference EmotionTrainer
+(`src/train.py:675-1201`) with the same training semantics:
+
+  * torch-Adam-equivalent optimizer (L2 added to grads pre-Adam) with
+    per-group learning rates (fusion / audio / video);
+  * two-stage fusion training with the stage flip at epoch stage1_epochs+1
+    rebuilding optimizer state (`:1071-1082`);
+  * per-group cosine LambdaLR with eta_min = 0.1 * base, stepped per epoch,
+    optional --cosine_stage2_only (`:736-768,1047-1052`);
+  * NLL-on-log-probs for late fusion, CE + label smoothing otherwise
+    (`:1030-1033`), plus the optional CLIP alignment aux loss (`:221-225`);
+  * branch warm-start from audio/video checkpoints (`:913-947`);
+  * best-val-macro-F1 checkpointing to outputs/best_{fusion}.pt in the
+    reference's .pt format (`:1138-1144`) and early stopping (`:1145-1150`).
+
+TPU-native differences: one jitted train step for all stages (stage policy
+enters as data — float trainable masks and per-leaf LRs), batch sharded over
+the mesh "data" axis with replicated params (XLA all-reduces grads over ICI),
+BatchNorm stats updated per-step under `mutable`, and buffer donation on the
+step.  Adds what the reference lacks: full resume checkpoints (orbax) and a
+JSONL metrics log with reference-named keys (W&B optional).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from multimodalemotionrecognition_tpu.config import DataConfig, ModelConfig, TrainConfig
+from multimodalemotionrecognition_tpu.models.factory import build_model
+from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh, shard_batch
+from multimodalemotionrecognition_tpu.train.freeze import (
+    cosine_factor,
+    lr_tree,
+    trainable_mask,
+)
+from multimodalemotionrecognition_tpu.utils.metrics import accuracy, macro_f1
+from multimodalemotionrecognition_tpu.utils.seed import set_seed
+
+__all__ = ["TrainState", "EmotionTrainer"]
+
+_RNG_STREAMS = ("dropout", "droppath", "modality", "specaugment", "wavlm_mask")
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def _smoothed_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float
+) -> jnp.ndarray:
+    """torch CrossEntropyLoss(label_smoothing=s) per-sample losses."""
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes)
+    targets = onehot * (1.0 - smoothing) + smoothing / num_classes
+    return -jnp.sum(targets * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+
+
+def _nll_on_probs(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Late fusion: NLLLoss over log(p + 1e-8) (reference `:212-214`)."""
+    log_probs = jnp.log(probs + 1e-8)
+    return -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+
+
+class EmotionTrainer:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        data_config: Optional[DataConfig] = None,
+        mesh=None,
+    ):
+        self.mc = model_config
+        self.tc = train_config
+        self.dc = data_config
+        self.model = build_model(model_config)
+        self.mesh = mesh if mesh is not None else make_mesh(train_config.mesh_shape)
+        self.is_single_modality = model_config.fusion in {"audio", "video"}
+        self._train_step = None
+        self._eval_step = None
+        self.metrics_log: list = []
+
+    # ------------------------------------------------------------------
+    # model application
+    # ------------------------------------------------------------------
+
+    def _apply(self, variables, batch_video, batch_audio, train, rngs, mutable):
+        fusion = self.mc.fusion
+        kwargs = dict(train=train, rngs=rngs)
+        if mutable:
+            kwargs["mutable"] = ["batch_stats"]
+        if fusion == "audio":
+            out = self.model.apply(variables, batch_audio, **kwargs)
+        elif fusion == "video":
+            out = self.model.apply(variables, batch_video, **kwargs)
+        else:
+            out = self.model.apply(variables, batch_video, batch_audio, **kwargs)
+        if mutable:
+            out, updates = out
+        else:
+            updates = {}
+        if isinstance(out, tuple):  # FusionModel returns (output, aux)
+            out, aux = out
+        else:
+            aux = {"alignment_loss": None}
+        return out, aux, updates
+
+    def _audio_features(self, audio_wav: jnp.ndarray) -> jnp.ndarray:
+        """Waveform [B,1,T] -> model audio input; mel front-end runs on-device
+        inside the step for non-WavLM models."""
+        if self.mc.use_wavlm:
+            return audio_wav
+        from multimodalemotionrecognition_tpu.ops.mel import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(audio_wav[:, 0, :])
+        return mel[:, None, :, :]
+
+    def _losses(self, outputs, aux, labels, valid):
+        if self.mc.fusion == "late":
+            per_sample = _nll_on_probs(outputs, labels)
+        else:
+            per_sample = _smoothed_cross_entropy(
+                outputs, labels, max(0.0, self.tc.label_smoothing)
+            )
+        weight = valid.astype(per_sample.dtype)
+        denom = jnp.maximum(weight.sum(), 1.0)
+        cls_loss = (per_sample * weight).sum() / denom
+        align = aux.get("alignment_loss")
+        align_weight = (
+            self.mc.fusion_align_weight if self.mc.fusion_align_mode != "none" else 0.0
+        )
+        contrastive = align if align is not None else jnp.zeros_like(cls_loss)
+        total = cls_loss + align_weight * contrastive
+        return total, cls_loss, contrastive
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _build_steps(self):
+        adam_core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        self._adam_core = adam_core
+
+        def train_step(state: TrainState, video, audio_wav, labels, valid, mask, lrs):
+            rng = jax.random.fold_in(state.rng, state.step)
+            rngs = {
+                name: jax.random.fold_in(rng, i)
+                for i, name in enumerate(_RNG_STREAMS)
+            }
+            audio = self._audio_features(audio_wav)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                outputs, aux, updates = self._apply(
+                    variables, video, audio, True, rngs, mutable=True
+                )
+                total, cls_loss, contrastive = self._losses(
+                    outputs, aux, labels, valid
+                )
+                preds = jnp.argmax(outputs, axis=1)
+                return total, (cls_loss, contrastive, preds, updates)
+
+            (total, (cls_loss, contrastive, preds, updates)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            )
+            # torch Adam semantics: L2 weight decay added to grads pre-Adam,
+            # only on trainable params; frozen params get exactly zero update.
+            grads = jax.tree_util.tree_map(
+                lambda g, p, m: (g + self.tc.weight_decay * p) * m,
+                grads,
+                state.params,
+                mask,
+            )
+            deltas, opt_state = adam_core.update(grads, state.opt_state, state.params)
+            deltas = jax.tree_util.tree_map(
+                lambda d, lr, m: -lr * d * m, deltas, lrs, mask
+            )
+            params = optax.apply_updates(state.params, deltas)
+            new_state = state.replace(
+                params=params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            return new_state, total, cls_loss, contrastive, preds
+
+        def eval_step(params, batch_stats, video, audio_wav, labels, valid):
+            audio = self._audio_features(audio_wav)
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs, aux, _ = self._apply(
+                variables, video, audio, False, None, mutable=False
+            )
+            total, cls_loss, contrastive = self._losses(outputs, aux, labels, valid)
+            preds = jnp.argmax(outputs, axis=1)
+            return total, cls_loss, contrastive, preds
+
+        donate = (0,) if self.tc.donate_buffers else ()
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tc.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        video = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
+        if self.mc.use_wavlm:
+            audio = jnp.zeros((1, 1, 48000), jnp.float32)
+        else:
+            audio = jnp.zeros((1, 1, self.mc.audio_n_mels, 301), jnp.float32)
+        if self.mc.fusion == "audio":
+            variables = self.model.init(init_rng, audio)
+        elif self.mc.fusion == "video":
+            variables = self.model.init(init_rng, video)
+        else:
+            variables = self.model.init(init_rng, video, audio)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        params, batch_stats = self._warm_start(params, batch_stats)
+        if self._train_step is None:
+            self._build_steps()
+        opt_state = self._adam_core.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=state_rng,
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    def _warm_start(self, params, batch_stats):
+        """Branch checkpoint warm-start (reference `:913-947`): load standalone
+        audio/video checkpoints into the fusion branches, tolerating missing
+        and extra keys like load_state_dict(strict=False)."""
+        if self.is_single_modality:
+            return params, batch_stats
+        from multimodalemotionrecognition_tpu.convert.torch_import import (
+            load_reference_checkpoint,
+            torch_state_dict_to_flax,
+        )
+
+        for attr, branch in (("audio_ckpt", "audio_model"), ("video_ckpt", "video_model")):
+            path = getattr(self.tc, attr)
+            if not path:
+                continue
+            sd, _ = load_reference_checkpoint(path)
+            template = {
+                "params": params[branch],
+                "batch_stats": batch_stats.get(branch, {}),
+            }
+            filled, report = torch_state_dict_to_flax(sd, template, strict=False)
+            print(
+                f"[INFO] Loaded {branch} checkpoint: {path} "
+                f"(missing={len(report.missing_flax_paths)}, "
+                f"unused={len(report.unused_torch_keys)})"
+            )
+            params = dict(params)
+            params[branch] = filled["params"]
+            if filled["batch_stats"]:
+                batch_stats = dict(batch_stats)
+                batch_stats[branch] = filled["batch_stats"]
+        return params, batch_stats
+
+    # ------------------------------------------------------------------
+    # epochs
+    # ------------------------------------------------------------------
+
+    def _stage_plan(self) -> Tuple[bool, int, int]:
+        two_stage = self.tc.two_stage_training and not self.is_single_modality
+        if not two_stage:
+            return False, 0, self.tc.epochs
+        if self.tc.epochs <= 1:
+            stage1 = self.tc.epochs
+        else:
+            stage1 = min(max(1, self.tc.stage1_epochs), self.tc.epochs - 1)
+        return True, stage1, self.tc.epochs - stage1
+
+    def _epoch_lr_scale(
+        self, stage: int, epoch_in_stage: int, epochs_in_stage: int
+    ) -> Dict[str, float]:
+        if not self.tc.use_cosine_annealing:
+            return {}
+        if self.tc.cosine_stage2_only and stage == 1:
+            return {}
+        f = cosine_factor(epoch_in_stage, epochs_in_stage)
+        return {"fusion": f, "audio": f, "video": f}
+
+    def run_epoch(
+        self,
+        state: TrainState,
+        loader: Iterable,
+        train: bool,
+        mask=None,
+        lrs=None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        totals = np.zeros(3)
+        n = 0
+        all_preds, all_labels = [], []
+        for batch in loader:
+            sb = shard_batch(
+                self.mesh,
+                {
+                    "video": batch.video,
+                    "audio": batch.audio,
+                    "labels": batch.labels,
+                    "valid": batch.valid,
+                },
+            )
+            if train:
+                state, total, cls_l, ctr_l, preds = self._train_step(
+                    state, sb["video"], sb["audio"], sb["labels"], sb["valid"], mask, lrs
+                )
+            else:
+                total, cls_l, ctr_l, preds = self._eval_step(
+                    state.params,
+                    state.batch_stats,
+                    sb["video"],
+                    sb["audio"],
+                    sb["labels"],
+                    sb["valid"],
+                )
+            bs = batch.size
+            totals += np.array([float(total), float(cls_l), float(ctr_l)]) * bs
+            n += bs
+            valid_np = np.asarray(batch.valid)
+            all_preds.append(np.asarray(preds)[valid_np])
+            all_labels.append(batch.labels[valid_np])
+        preds = np.concatenate(all_preds) if all_preds else np.zeros(0)
+        labels = np.concatenate(all_labels) if all_labels else np.zeros(0)
+        metrics = {
+            "loss": totals[0] / max(n, 1),
+            "cls_loss": totals[1] / max(n, 1),
+            "contrastive_loss": totals[2] / max(n, 1),
+            "acc": accuracy(preds, labels),
+            "f1": macro_f1(preds, labels),
+        }
+        return state, metrics
+
+    def fit(
+        self,
+        train_loader,
+        val_loader,
+        test_loader=None,
+        state: Optional[TrainState] = None,
+        log_fn=None,
+    ) -> Tuple[TrainState, Dict[str, Any]]:
+        set_seed(self.tc.seed)
+        if state is None:
+            state = self.init_state()
+        two_stage, stage1_epochs, stage2_epochs = self._stage_plan()
+        current_stage = 1 if two_stage else 0
+
+        mask = trainable_mask(state.params, self.mc, self.tc, current_stage)
+        best_f1, best_payload = -1.0, None
+        patience = 0
+        out_dir = Path(self.tc.output_dir)
+        history = []
+
+        for epoch in range(1, self.tc.epochs + 1):
+            if (
+                two_stage
+                and current_stage == 1
+                and stage1_epochs < self.tc.epochs
+                and epoch == stage1_epochs + 1
+            ):
+                current_stage = 2
+                mask = trainable_mask(state.params, self.mc, self.tc, 2)
+                # Stage flip rebuilds the optimizer exactly like the
+                # reference's fresh torch.optim.Adam (`:1080`).
+                state = state.replace(opt_state=self._adam_core.init(state.params))
+                print(f"[INFO] Switched to stage-2 at epoch {epoch}.")
+
+            epoch_in_stage = (
+                epoch - 1 if current_stage != 2 else epoch - 1 - stage1_epochs
+            )
+            epochs_in_stage = (
+                self.tc.epochs
+                if not two_stage
+                else (stage1_epochs if current_stage == 1 else stage2_epochs)
+            )
+            scale = self._epoch_lr_scale(current_stage, epoch_in_stage, epochs_in_stage)
+            lrs = lr_tree(state.params, self.mc, self.tc, current_stage, scale)
+
+            t0 = time.time()
+            state, train_m = self.run_epoch(state, train_loader, True, mask, lrs)
+            state, val_m = self.run_epoch(state, val_loader, False)
+            dt = time.time() - t0
+
+            row = {
+                "epoch": epoch,
+                "stage": current_stage,
+                "epoch_time_sec": round(dt, 2),
+                **{f"train/{k}": v for k, v in train_m.items()},
+                **{f"val/{k}": v for k, v in val_m.items()},
+            }
+            history.append(row)
+            print(
+                f"Epoch {epoch:02d} | stage {current_stage or '-'} | "
+                f"train loss {train_m['loss']:.4f} acc {train_m['acc']:.4f} "
+                f"f1 {train_m['f1']:.4f} | val loss {val_m['loss']:.4f} "
+                f"acc {val_m['acc']:.4f} f1 {val_m['f1']:.4f} | {dt:.1f}s"
+            )
+            if log_fn:
+                log_fn(row)
+            self.metrics_log.append(row)
+
+            if val_m["f1"] > best_f1:
+                best_f1 = val_m["f1"]
+                patience = 0
+                best_payload = {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "val_f1": best_f1,
+                }
+                self.save_checkpoint(out_dir / f"best_{self.mc.fusion}.pt", state, best_f1)
+            else:
+                patience += 1
+                if (
+                    self.tc.early_stopping_patience > 0
+                    and patience >= self.tc.early_stopping_patience
+                ):
+                    print(
+                        f"\nEarly stopping triggered! No improvement for "
+                        f"{self.tc.early_stopping_patience} epochs."
+                    )
+                    break
+
+        result: Dict[str, Any] = {"best_val_f1": best_f1, "history": history}
+        if test_loader is not None and test_loader.num_samples > 0:
+            _, test_m = self.run_epoch(state, test_loader, False)
+            result["test"] = test_m
+            print(
+                f"Test | loss {test_m['loss']:.4f} acc {test_m['acc']:.4f} "
+                f"f1 {test_m['f1']:.4f}"
+            )
+        (out_dir / "metrics.jsonl").parent.mkdir(parents=True, exist_ok=True)
+        with (out_dir / "metrics.jsonl").open("w") as f:
+            for row in history:
+                f.write(json.dumps(row) + "\n")
+        return state, result
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+
+    def save_resume_state(
+        self, directory: Path | str, state: TrainState, epoch: int, best_f1: float
+    ) -> None:
+        """Full-state orbax checkpoint (params + optimizer + RNG + epoch) —
+        mid-run resume support the reference lacks (SURVEY.md §5
+        checkpoint/resume)."""
+        import orbax.checkpoint as ocp
+
+        directory = Path(directory).resolve()
+        payload = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "rng": jax.device_get(state.rng),
+            "step": int(state.step),
+            "epoch": epoch,
+            "best_f1": float(best_f1),
+        }
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(directory / "resume", payload, force=True)
+
+    def restore_resume_state(self, directory: Path | str):
+        """-> (TrainState, epoch, best_f1) from `save_resume_state` output."""
+        import orbax.checkpoint as ocp
+
+        directory = Path(directory).resolve()
+        with ocp.PyTreeCheckpointer() as ckptr:
+            payload = ckptr.restore(directory / "resume")
+        if self._train_step is None:
+            self._build_steps()
+        state = TrainState(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            rng=jnp.asarray(payload["rng"]),
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )
+        return state, int(payload["epoch"]), float(payload["best_f1"])
+
+    def save_checkpoint(self, path: Path, state: TrainState, val_f1: float) -> None:
+        """Reference-format .pt: {"model": state_dict, "val_f1", "config"}
+        (`src/train.py:1138-1144`) — loadable by the reference framework."""
+        from multimodalemotionrecognition_tpu.convert.torch_import import (
+            save_torch_checkpoint,
+        )
+
+        variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        save_torch_checkpoint(
+            path, variables, config=self.mc.to_checkpoint_dict(), val_f1=val_f1
+        )

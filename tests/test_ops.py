@@ -119,3 +119,17 @@ class TestStochastic:
             if not np.allclose(out, np.asarray(wav)):
                 changed += 1
         assert 4 <= changed <= 16  # ~50% clean probability
+
+
+class TestNumpyMelTwin:
+    def test_numpy_mel_matches_jax_mel(self):
+        from multimodalemotionrecognition_tpu.ops.mel import (
+            log_mel_spectrogram,
+            log_mel_spectrogram_np,
+        )
+
+        wav = np.random.RandomState(3).randn(2, 48000).astype(np.float32) * 0.1
+        a = np.asarray(log_mel_spectrogram(jnp.asarray(wav)))
+        b = log_mel_spectrogram_np(wav)
+        assert b.shape == (2, 64, 301)
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)

@@ -1,0 +1,128 @@
+"""JaxModelRunner tests: checkpoint -> bucketed inference with the
+reference TorchModelRunner contract (`src/optimized_runtime.py:44-108`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalemotionrecognition_tpu.config import ModelConfig
+from multimodalemotionrecognition_tpu.convert.torch_import import save_torch_checkpoint
+from multimodalemotionrecognition_tpu.models.factory import build_model
+from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
+
+
+@pytest.fixture(scope="module")
+def xattn_checkpoint(tmp_path_factory):
+    cfg = ModelConfig(
+        fusion="xattn",
+        num_classes=8,
+        spec_augment=False,
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+    )
+    model = build_model(cfg)
+    video = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
+    audio = jnp.zeros((1, 1, 64, 301), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    path = tmp_path_factory.mktemp("ckpt") / "best_xattn.pt"
+    save_torch_checkpoint(path, variables, config=cfg.to_checkpoint_dict(), val_f1=0.9)
+    return str(path), cfg, model, variables
+
+
+def test_runner_loads_and_matches_direct_apply(xattn_checkpoint):
+    path, cfg, model, variables = xattn_checkpoint
+    runner = JaxModelRunner(path)
+    assert runner.fusion_mode == "xattn"
+    assert runner.use_wavlm is False
+    assert runner.labels[0] == "neutral"
+
+    rng = np.random.RandomState(0)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(2, 1, 64, 301).astype(np.float32)
+    probs = runner.predict_probs(video, audio)
+    assert probs.shape == (2, 8)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
+    logits, _ = model.apply(variables, jnp.asarray(video), jnp.asarray(audio))
+    expected = np.asarray(jax.nn.softmax(logits, axis=1))
+    np.testing.assert_allclose(probs, expected, atol=1e-5)
+
+
+def test_runner_pads_to_bucket(xattn_checkpoint):
+    path, *_ = xattn_checkpoint
+    runner = JaxModelRunner(path, batch_buckets=(1, 2, 4))
+    rng = np.random.RandomState(1)
+    video = rng.randn(3, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(3, 1, 64, 301).astype(np.float32)
+    probs = runner.predict_probs(video, audio)
+    assert probs.shape == (3, 8)
+    # bucket-4 result must equal per-sample results
+    single = runner.predict_probs(video[:1], audio[:1])
+    np.testing.assert_allclose(probs[0], single[0], atol=1e-5)
+
+
+def test_runner_int8_close_to_fp32(xattn_checkpoint):
+    path, *_ = xattn_checkpoint
+    fp32 = JaxModelRunner(path)
+    int8 = JaxModelRunner(path, quantize_int8=True)
+    rng = np.random.RandomState(2)
+    video = rng.randn(1, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(1, 1, 64, 301).astype(np.float32)
+    p32 = fp32.predict_probs(video, audio)
+    p8 = int8.predict_probs(video, audio)
+    assert np.abs(p32 - p8).max() < 0.05
+    assert np.argmax(p32) == np.argmax(p8)
+
+
+def test_runner_late_no_double_softmax(tmp_path):
+    cfg = ModelConfig(fusion="late", num_classes=8, spec_augment=False)
+    model = build_model(cfg)
+    video = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
+    audio = jnp.zeros((1, 1, 64, 301), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    path = tmp_path / "best_late.pt"
+    save_torch_checkpoint(path, variables, config=cfg.to_checkpoint_dict())
+    runner = JaxModelRunner(str(path))
+    rng = np.random.RandomState(0)
+    v = rng.randn(1, 8, 3, 112, 112).astype(np.float32)
+    a = rng.randn(1, 1, 64, 301).astype(np.float32)
+    probs = runner.predict_probs(v, a)
+    direct, _ = model.apply(variables, jnp.asarray(v), jnp.asarray(a))
+    np.testing.assert_allclose(probs, np.asarray(direct), atol=1e-6)
+
+
+def test_runner_signature_fallback_no_config(tmp_path):
+    """A raw state dict without config reconstructs via signature inference."""
+    import torch
+
+    cfg = ModelConfig(fusion="gated", num_classes=8, spec_augment=False)
+    model = build_model(cfg)
+    video = jnp.zeros((1, 4, 3, 64, 64), jnp.float32)
+    audio = jnp.zeros((1, 1, 64, 101), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    from multimodalemotionrecognition_tpu.convert.torch_import import (
+        flax_to_torch_state_dict,
+    )
+
+    sd = {
+        k: torch.from_numpy(np.array(v, copy=True))
+        for k, v in flax_to_torch_state_dict(variables).items()
+    }
+    path = tmp_path / "raw.pt"
+    torch.save({"model": sd}, path)
+    runner = JaxModelRunner(str(path))
+    assert runner.fusion_mode == "gated"
+
+
+def test_runner_fused_matches_modular(xattn_checkpoint):
+    path, *_ = xattn_checkpoint
+    modular = JaxModelRunner(path)
+    fused = JaxModelRunner(path, fused=True)
+    assert fused._fused_forward is not None
+    rng = np.random.RandomState(3)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(2, 1, 64, 301).astype(np.float32)
+    pm = modular.predict_probs(video, audio)
+    pf = fused.predict_probs(video, audio)
+    np.testing.assert_allclose(pf, pm, atol=5e-5, rtol=5e-5)

@@ -1,0 +1,269 @@
+"""Trainer tests: freeze policy, optimizer parity with torch Adam, two-stage
+semantics, cosine schedule, and sharded training on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from multimodalemotionrecognition_tpu.config import DataConfig, ModelConfig, TrainConfig
+from multimodalemotionrecognition_tpu.data.pipeline import Batch
+from multimodalemotionrecognition_tpu.train.freeze import (
+    cosine_factor,
+    label_params,
+    lr_tree,
+    trainable_mask,
+)
+from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
+
+from flax.traverse_util import flatten_dict
+
+
+def _small_model_cfg(fusion="concat", **kw):
+    return ModelConfig(fusion=fusion, num_classes=4, spec_augment=False, **kw)
+
+
+def _toy_batches(n_batches=2, b=4, t=2, size=32, mel_t=41, seed=0, n_classes=4):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_batches):
+        batches.append(
+            Batch(
+                video=rng.randn(b, t, 3, size, size).astype(np.float32),
+                audio=rng.randn(b, 1, 48000).astype(np.float32) * 0.05,
+                labels=rng.randint(0, n_classes, b).astype(np.int32),
+                valid=np.ones(b, bool),
+                meta=[{}] * b,
+            )
+        )
+    return batches
+
+
+class _ListLoader(list):
+    @property
+    def num_samples(self):
+        return sum(b.size for b in self)
+
+
+class TestFreezePolicy:
+    def _params(self, fusion="xattn", use_wavlm=False):
+        cfg = _small_model_cfg(fusion, use_wavlm=use_wavlm)
+        trainer = EmotionTrainer(cfg, TrainConfig())
+        state = trainer.init_state()
+        return cfg, state.params
+
+    def test_labels(self):
+        cfg, params = self._params()
+        labels = flatten_dict(label_params(params))
+        values = set(labels.values())
+        assert values == {"fusion", "audio", "video"}
+
+    def test_stage1_freezes_encoders(self):
+        cfg, params = self._params()
+        mask = flatten_dict(trainable_mask(params, cfg, TrainConfig(), stage=1))
+        for path, v in mask.items():
+            joined = ".".join(path)
+            if joined.startswith(("audio_model.", "video_model.")):
+                assert v == 0.0, joined
+            else:
+                assert v == 1.0, joined
+
+    def test_stage2_video_last_block(self):
+        cfg, params = self._params()
+        tc = TrainConfig(fusion_unfreeze_video_blocks=1, fusion_unfreeze_audio=False)
+        mask = flatten_dict(trainable_mask(params, cfg, tc, stage=2))
+        for path, v in mask.items():
+            joined = ".".join(path)
+            if joined.startswith("video_model.backbone.7."):
+                assert v == 1.0, joined
+            elif joined.startswith("video_model.backbone."):
+                assert v == 0.0, joined
+            elif joined.startswith("video_model.classifier."):
+                assert v == 1.0, joined
+            elif joined.startswith("audio_model."):
+                assert v == 0.0, joined
+
+    def test_stage2_audio_all_or_nothing(self):
+        cfg, params = self._params()
+        tc_on = TrainConfig(fusion_unfreeze_audio=True)
+        tc_off = TrainConfig(fusion_unfreeze_audio=False)
+        m_on = flatten_dict(trainable_mask(params, cfg, tc_on, stage=2))
+        m_off = flatten_dict(trainable_mask(params, cfg, tc_off, stage=2))
+        audio_paths = [p for p in m_on if ".".join(p).startswith("audio_model.")]
+        assert all(m_on[p] == 1.0 for p in audio_paths)
+        assert all(m_off[p] == 0.0 for p in audio_paths)
+
+    def test_lr_tree_groups(self):
+        cfg, params = self._params()
+        tc = TrainConfig(lr=1e-3, audio_backbone_lr=1e-5, video_backbone_lr=2e-5)
+        lrs = flatten_dict(lr_tree(params, cfg, tc, stage=2, scale={}))
+        for path, v in lrs.items():
+            joined = ".".join(path)
+            if joined.startswith("audio_model."):
+                assert v == pytest.approx(1e-5)
+            elif joined.startswith("video_model."):
+                assert v == pytest.approx(2e-5)
+            else:
+                assert v == pytest.approx(1e-3)
+
+    def test_cosine_factor_matches_reference_formula(self):
+        # t=min(e+1,T): first step decays, floor at 0.1x base
+        import math
+
+        t_max = 10
+        for e in range(12):
+            t = min(e + 1, t_max)
+            expected = 0.1 + 0.9 * 0.5 * (1 + math.cos(math.pi * t / t_max))
+            assert cosine_factor(e, t_max) == pytest.approx(expected)
+        assert cosine_factor(99, t_max) == pytest.approx(0.1)
+
+
+class TestAdamParity:
+    def test_masked_adam_matches_torch_adam(self):
+        """The trainer's grads+wd -> scale_by_adam -> -lr pipeline must match
+        torch.optim.Adam(lr, weight_decay) step-for-step."""
+        import optax
+
+        w0 = np.random.RandomState(0).randn(6, 3).astype(np.float32)
+        x = np.random.RandomState(1).randn(32, 6).astype(np.float32)
+        y = np.random.RandomState(2).randn(32, 3).astype(np.float32)
+        lr, wd = 1e-2, 1e-3
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+        for _ in range(5):
+            topt.zero_grad()
+            loss = ((torch.from_numpy(x) @ tw - torch.from_numpy(y)) ** 2).mean()
+            loss.backward()
+            topt.step()
+
+        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        jw = jnp.asarray(w0)
+        opt_state = core.init(jw)
+        for _ in range(5):
+            grads = jax.grad(
+                lambda w: ((jnp.asarray(x) @ w - jnp.asarray(y)) ** 2).mean()
+            )(jw)
+            grads = grads + wd * jw
+            delta, opt_state = core.update(grads, opt_state, jw)
+            jw = jw - lr * delta
+        np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(), atol=1e-6)
+
+
+class TestTrainingLoop:
+    def test_loss_decreases_concat(self):
+        """The jitted step memorizes a single fixed batch."""
+        from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
+
+        cfg = _small_model_cfg("concat")
+        tc = TrainConfig(lr=1e-3)
+        trainer = EmotionTrainer(cfg, tc)
+        state = trainer.init_state()
+        mask = trainable_mask(state.params, cfg, tc, stage=0)
+        lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video),
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.valid),
+        )
+        losses = []
+        for _ in range(12):
+            state, total, *_ = trainer._train_step(state, *args, mask, lrs)
+            losses.append(float(total))
+        assert losses[-1] < 0.8 * losses[0], losses
+
+    def test_two_stage_freezes_then_updates(self):
+        cfg = _small_model_cfg("xattn", xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0)
+        tc = TrainConfig(
+            epochs=2,
+            stage1_epochs=1,
+            two_stage_training=True,
+            lr=1e-3,
+            fusion_unfreeze_video_blocks=1,
+            fusion_unfreeze_audio=True,
+            early_stopping_patience=0,
+            output_dir="/tmp/emo_test_out",
+        )
+        trainer = EmotionTrainer(cfg, tc)
+        state0 = trainer.init_state()
+        p0 = jax.device_get(state0.params)
+
+        from multimodalemotionrecognition_tpu.train.freeze import trainable_mask, lr_tree
+
+        mask1 = trainable_mask(state0.params, cfg, tc, stage=1)
+        lrs1 = lr_tree(state0.params, cfg, tc, stage=1, scale={})
+        batch = _toy_batches(1)[0]
+        sb = {
+            "video": jnp.asarray(batch.video),
+            "audio": jnp.asarray(batch.audio),
+            "labels": jnp.asarray(batch.labels),
+            "valid": jnp.asarray(batch.valid),
+        }
+        trainer._build_steps()
+        state1, *_ = trainer._train_step(
+            state0, sb["video"], sb["audio"], sb["labels"], sb["valid"], mask1, lrs1
+        )
+        p1 = jax.device_get(state1.params)
+
+        f0, f1 = flatten_dict(p0), flatten_dict(p1)
+        moved = {
+            ".".join(k): float(np.abs(np.asarray(f1[k]) - np.asarray(f0[k])).max())
+            for k in f0
+        }
+        # stage 1: encoder params untouched, fusion params move
+        for k, d in moved.items():
+            if k.startswith(("audio_model.", "video_model.")):
+                assert d == 0.0, k
+        assert any(
+            d > 0 for k, d in moved.items() if not k.startswith(("audio_model.", "video_model."))
+        )
+
+    def test_fit_writes_reference_checkpoint(self, tmp_path):
+        cfg = _small_model_cfg("gated")
+        tc = TrainConfig(epochs=1, output_dir=str(tmp_path), early_stopping_patience=0)
+        trainer = EmotionTrainer(cfg, tc)
+        trainer.fit(_ListLoader(_toy_batches(1)), _ListLoader(_toy_batches(1, seed=5)))
+        ckpt = tmp_path / "best_gated.pt"
+        assert ckpt.exists()
+        payload = torch.load(ckpt, weights_only=False)
+        assert set(payload) == {"model", "val_f1", "config"}
+        assert payload["config"]["fusion"] == "gated"
+        # signature inference on our own export (reference runtime contract)
+        from multimodalemotionrecognition_tpu.convert import infer_model_signature
+
+        assert infer_model_signature(payload["model"]) == ("gated", "gated")
+
+    def test_eval_roundtrip_from_checkpoint(self, tmp_path):
+        from multimodalemotionrecognition_tpu.train.eval import (
+            load_model_from_checkpoint,
+        )
+
+        cfg = _small_model_cfg("concat")
+        tc = TrainConfig(epochs=1, output_dir=str(tmp_path), early_stopping_patience=0)
+        trainer = EmotionTrainer(cfg, tc)
+        state, _ = trainer.fit(
+            _ListLoader(_toy_batches(1)), _ListLoader(_toy_batches(1, seed=5))
+        )
+        model, variables, mc = load_model_from_checkpoint(
+            str(tmp_path / "best_concat.pt"), num_classes=4
+        )
+        assert mc.fusion == "concat"
+        batch = _toy_batches(1, seed=3)[0]
+        mel = trainer._audio_features(jnp.asarray(batch.audio))
+        out, _ = model.apply(variables, jnp.asarray(batch.video), mel)
+        assert out.shape == (4, 4)
+
+
+class TestShardedTraining:
+    def test_train_step_on_8_device_mesh(self):
+        assert jax.device_count() == 8
+        cfg = _small_model_cfg("concat")
+        tc = TrainConfig(epochs=1, output_dir="/tmp/emo_test_out")
+        trainer = EmotionTrainer(cfg, tc)
+        batches = _ListLoader(_toy_batches(n_batches=1, b=8))
+        state, result = trainer.fit(batches, _ListLoader(_toy_batches(1, b=8, seed=4)))
+        assert np.isfinite(result["history"][0]["train/loss"])
