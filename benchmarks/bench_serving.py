@@ -1,0 +1,129 @@
+"""End-to-end serving throughput: synthetic 3 s clips through the full queued
+pipeline (multipart bytes -> task store -> dynamic batcher -> host decode +
+face crop + resample -> jitted TPU forward -> worker result JSON).
+
+This is the BASELINE.json north-star metric shape (>=5,000 3 s clips/min).
+
+Usage: python benchmarks/bench_serving.py [--clips 256] [--checkpoint ...]
+       (no checkpoint -> random-weight flagship xattn model)
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _make_clip_bytes(tmp: Path, seconds: float = 3.0) -> bytes:
+    import wave
+
+    p = tmp / "clip.wav"
+    sr = 16000
+    t = np.arange(int(sr * seconds)) / sr
+    wav = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.02 * np.random.randn(t.size)
+    with wave.open(str(p), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(np.clip(wav * 32767, -32768, 32767).astype("<i2").tobytes())
+    return p.read_bytes()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=256)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batch-size", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from multimodalemotionrecognition_tpu.config import ModelConfig, ServeConfig
+    from multimodalemotionrecognition_tpu.serving.batcher import (
+        DynamicBatcher,
+        InferenceGateway,
+    )
+
+    if args.checkpoint:
+        from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
+
+        runner = JaxModelRunner(args.checkpoint, batch_buckets=(args.batch_size,))
+    else:
+        # Random-weight flagship via an in-memory checkpoint.
+        from multimodalemotionrecognition_tpu.convert.torch_import import (
+            save_torch_checkpoint,
+        )
+        from multimodalemotionrecognition_tpu.models.factory import build_model
+        from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
+
+        cfg = ModelConfig(
+            fusion="xattn", use_wavlm=True, num_classes=8,
+            xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0,
+            compute_dtype="bfloat16", spec_augment=False,
+        )
+        model = build_model(cfg)
+        import jax.numpy as jnp
+
+        video = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
+        audio = jnp.zeros((1, 1, 48000), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), video, audio)
+        with tempfile.TemporaryDirectory() as d:
+            ckpt = Path(d) / "flagship.pt"
+            save_torch_checkpoint(ckpt, variables, config=cfg.to_checkpoint_dict())
+            runner = JaxModelRunner(
+                str(ckpt), batch_buckets=(args.batch_size,), compute_dtype="bfloat16"
+            )
+
+    print("[bench_serving] warming up buckets...")
+    runner.warmup()
+
+    config = ServeConfig(batch_size=args.batch_size, batch_timeout_ms=20)
+
+    async def run() -> float:
+        gateway = InferenceGateway(config)
+        batcher = DynamicBatcher(gateway, runner, config, preprocess_workers=8)
+        task = asyncio.create_task(batcher.run())
+        with tempfile.TemporaryDirectory() as d:
+            payload = _make_clip_bytes(Path(d))
+            # Warm one clip through (first host decode paths).
+            tid = await gateway.submit("warm.wav", payload)
+            await gateway.wait_for_result(tid, timeout_sec=120)
+
+            t0 = time.perf_counter()
+            ids = await gateway.submit_many(
+                [(f"clip{i}.wav", payload) for i in range(args.clips)]
+            )
+            await asyncio.gather(
+                *(gateway.wait_for_result(i, timeout_sec=600) for i in ids)
+            )
+            dt = time.perf_counter() - t0
+        batcher.stop()
+        task.cancel()
+        print("[bench_serving] stages:", json.dumps(batcher.timer.summary()))
+        return dt
+
+    dt = asyncio.run(run())
+    clips_per_min = args.clips / dt * 60.0
+    print(
+        json.dumps(
+            {
+                "metric": f"serving_e2e_throughput_b{args.batch_size}",
+                "value": round(clips_per_min, 1),
+                "unit": "3s_clips_per_min",
+                "vs_baseline": round(clips_per_min / 60.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

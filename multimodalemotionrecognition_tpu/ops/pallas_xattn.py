@@ -139,8 +139,8 @@ def _fused_kernel(
     )
     a_new = _layer_norm(a + a2, an_s_ref[...], an_b_ref[...])
 
-    out_v_ref[0] = jnp.mean(v_new, axis=0)
-    out_a_ref[0] = jnp.mean(a_new, axis=0)
+    out_v_ref[0, 0] = jnp.mean(v_new, axis=0)
+    out_a_ref[0, 0] = jnp.mean(a_new, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -201,12 +201,14 @@ def fused_bidirectional_xattn(
             full((d,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # Mosaic tiling: the last two block dims must match the array
+            # dims (or be 8/128-aligned), so pooled outputs are [B, 1, d].
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -227,4 +229,4 @@ def fused_bidirectional_xattn(
         params.a_norm_scale,
         params.a_norm_bias,
     )
-    return out_v, out_a
+    return out_v[:, 0, :], out_a[:, 0, :]

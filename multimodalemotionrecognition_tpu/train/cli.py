@@ -35,6 +35,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--img_size", type=int, default=112)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--split_mode", type=str, default="stratified", choices=["actor", "stratified"])
@@ -157,7 +158,7 @@ def configs_from_args(args: argparse.Namespace):
         seed=args.seed,
         use_wavlm=args.use_wavlm,
         use_face_crop=args.use_face_crop,
-        video=VideoConfig(num_frames=args.frames),
+        video=VideoConfig(num_frames=args.frames, size=args.img_size),
     )
     return model, train, data
 
