@@ -65,15 +65,20 @@ def main() -> None:
     @jax.jit
     def forward(variables, video, audio):
         out, _ = model.apply(variables, video, prep(audio))
-        return jax.nn.softmax(out.astype(jnp.float32), axis=1)
+        probs = jax.nn.softmax(out.astype(jnp.float32), axis=1)
+        # Chain the next iteration's input to this output: defeats any
+        # transparent caching of identical (executable, args) executions and
+        # keeps every timed iteration doing real compute.
+        audio_next = audio + probs[0, 0].astype(audio.dtype) * 1e-9
+        return probs, audio_next
 
     # Warmup / compile.
-    forward(variables, video, audio).block_until_ready()
-    forward(variables, video, audio).block_until_ready()
+    out, audio = forward(variables, video, audio)
+    out.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, video, audio)
+        out, audio = forward(variables, video, audio)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,150 @@
+"""Training-step throughput + synthetic convergence demo on real hardware.
+
+Two modes:
+  --mode step   : time the jitted two-tower train step (flagship xattn,
+                  WavLM or mel audio) at a given batch size.
+                  Reference baseline: xattn epoch ~15 min on an RTX 4090
+                  (TRAINING_GUIDE.md:241-246) over ~1008 training clips
+                  => ~0.9 s/clip.
+  --mode converge: train on an emotion-coded synthetic dataset end-to-end
+                  (decode -> augment -> device -> optimize) and report
+                  accuracy — validates the full learning loop.
+
+Usage: python benchmarks/bench_train.py --mode step --batch 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalemotionrecognition_tpu.config import ModelConfig, TrainConfig
+    from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
+    from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
+
+    cfg = ModelConfig(fusion="xattn", use_wavlm=use_wavlm, num_classes=8)
+    tc = TrainConfig(lr=1e-3)
+    trainer = EmotionTrainer(cfg, tc)
+    state = trainer.init_state()
+    mask = trainable_mask(state.params, cfg, tc, stage=0)
+    lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.randn(batch, 8, 3, 112, 112).astype(np.float32))
+    audio = jnp.asarray(rng.randn(batch, 1, 48000).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, 8, batch).astype(np.int32))
+    valid = jnp.ones(batch, bool)
+
+    # compile
+    state, *_ = trainer._train_step(state, video, audio, labels, valid, mask, lrs)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, total, *_ = trainer._train_step(
+            state, video, audio, labels, valid, mask, lrs
+        )
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / iters
+    clips_per_sec = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_xattn{'_wavlm' if use_wavlm else ''}_b{batch}",
+                "value": round(dt * 1000, 1),
+                "unit": "ms_per_step",
+                "clips_per_sec": round(clips_per_sec, 1),
+                "vs_baseline": round(clips_per_sec / (1.0 / 0.9), 2),  # ref ~0.9 s/clip
+            }
+        )
+    )
+
+
+def bench_converge(epochs: int = 6) -> None:
+    from multimodalemotionrecognition_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+        VideoConfig,
+    )
+    from multimodalemotionrecognition_tpu.data.pipeline import build_loaders
+    from multimodalemotionrecognition_tpu.data.synthetic import (
+        generate_synthetic_ravdess,
+    )
+    from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
+
+    with tempfile.TemporaryDirectory() as d:
+        root = Path(d) / "data"
+        n = generate_synthetic_ravdess(
+            root, actors=range(1, 7), emotions=range(1, 9), seconds=1.0
+        )
+        print(f"[converge] {n} synthetic pairs")
+        dc = DataConfig(
+            data_root=str(root),
+            split_mode="actor",
+            train_actors=(1, 2, 3, 4),
+            val_actors=(5,),
+            test_actors=(6,),
+            use_face_crop=False,
+            train_augment=False,
+            video=VideoConfig(num_frames=4, size=64),
+        )
+        mc = ModelConfig(fusion="gated", num_classes=8, spec_augment=False)
+        tc = TrainConfig(
+            epochs=epochs,
+            batch_size=8,
+            lr=1e-3,
+            early_stopping_patience=0,
+            output_dir=str(Path(d) / "out"),
+        )
+        import os
+
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            train_loader, val_loader, test_loader = build_loaders(dc, tc.batch_size)
+            trainer = EmotionTrainer(mc, tc, dc)
+            _, result = trainer.fit(train_loader, val_loader, test_loader)
+        finally:
+            os.chdir(cwd)
+        print(
+            json.dumps(
+                {
+                    "metric": "synthetic_convergence_gated",
+                    "value": round(result["test"]["acc"], 4),
+                    "unit": "test_accuracy",
+                    "train_acc": round(result["history"][-1]["train/acc"], 4),
+                    "best_val_f1": round(result["best_val_f1"], 4),
+                }
+            )
+        )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["step", "converge"], default="step")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--wavlm", action="store_true", default=True)
+    p.add_argument("--no-wavlm", dest="wavlm", action="store_false")
+    p.add_argument("--epochs", type=int, default=6)
+    args = p.parse_args()
+    if args.mode == "step":
+        bench_step(args.batch, args.wavlm)
+    else:
+        bench_converge(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,11 +101,18 @@ class JaxModelRunner:
             else leaf,
             variables,
         )
+        self._dequant_scales: Dict[Tuple[str, ...], np.ndarray] = {}
         if quantize_int8:
             variables = self._quantize_dense_int8(variables)
         self.variables = jax.device_put(variables)
         self._compiled: Dict[int, Any] = {}
         self._fused_forward = None
+        if fused and quantize_int8:
+            print(
+                "[WARNING] fused=True is not yet supported together with "
+                "quantize_int8; using the modular path."
+            )
+            fused = False
         if fused:
             from multimodalemotionrecognition_tpu.runtime.fused import (
                 build_fused_xattn_forward,
@@ -145,11 +152,12 @@ class JaxModelRunner:
             return lambda: self.model.init(jax.random.PRNGKey(0), video)
         return lambda: self.model.init(jax.random.PRNGKey(0), video, audio)
 
-    @staticmethod
-    def _quantize_dense_int8(variables):
-        """Weight-only int8 for 2D kernels (per-column scales), dequantized at
-        trace time — the XLA analog of ONNX/torch dynamic quantization's model
-        -size/bandwidth win."""
+    def _quantize_dense_int8(self, variables):
+        """Weight-only int8 for 2D kernels (per-column scales).  Kernels are
+        STORED as int8 (4x less HBM footprint/bandwidth) and dequantized
+        inside the jitted forward, where XLA fuses convert+scale into the
+        matmul — the XLA analog of ONNX/torch dynamic quantization
+        (`src/export_optimized_model.py:89-104`)."""
         from flax.traverse_util import flatten_dict, unflatten_dict
 
         flat = flatten_dict(variables)
@@ -159,7 +167,24 @@ class JaxModelRunner:
             if path[-1] == "kernel" and arr.ndim == 2 and min(arr.shape) >= 8:
                 scale = np.maximum(np.abs(arr).max(axis=0, keepdims=True), 1e-8) / 127.0
                 q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
-                out[path] = (q.astype(np.float32) * scale).astype(np.float32)
+                out[path] = q
+                self._dequant_scales[path] = scale.astype(np.float32)
+            else:
+                out[path] = leaf
+        return unflatten_dict(out)
+
+    def _dequantized_variables(self):
+        """Trace-time dequantization of int8 kernels (no-op when unquantized)."""
+        if not self._dequant_scales:
+            return self.variables
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = flatten_dict(self.variables)
+        out = {}
+        for path, leaf in flat.items():
+            scale = self._dequant_scales.get(path)
+            if scale is not None:
+                out[path] = leaf.astype(jnp.float32) * scale
             else:
                 out[path] = leaf
         return unflatten_dict(out)
@@ -167,12 +192,13 @@ class JaxModelRunner:
     def _forward(self, video, audio):
         if self._fused_forward is not None:
             return self._fused_forward(video, audio)
+        variables = self._dequantized_variables()
         if self.fusion_mode == "audio":
-            out = self.model.apply(self.variables, audio)
+            out = self.model.apply(variables, audio)
         elif self.fusion_mode == "video":
-            out = self.model.apply(self.variables, video)
+            out = self.model.apply(variables, video)
         else:
-            out = self.model.apply(self.variables, video, audio)
+            out = self.model.apply(variables, video, audio)
         if isinstance(out, tuple):
             out = out[0]
         # Late fusion already returns probabilities (`src/optimized_runtime.py:107`).
