@@ -72,14 +72,18 @@ def main() -> None:
         audio_next = audio + probs[0, 0].astype(audio.dtype) * 1e-9
         return probs, audio_next
 
-    # Warmup / compile.
+    # Warmup / compile. NB: sync via a host fetch — on the tunneled axon
+    # backend block_until_ready() returns before device completion, which
+    # silently inflates throughput; np.asarray forces a real round trip, and
+    # the input chaining above makes the final fetch transitively wait for
+    # every timed iteration.
     out, audio = forward(variables, video, audio)
-    out.block_until_ready()
+    np.asarray(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out, audio = forward(variables, video, audio)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     clips_per_min = batch * iters / dt * 60.0

@@ -48,15 +48,17 @@ def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
     labels = jnp.asarray(rng.randint(0, 8, batch).astype(np.int32))
     valid = jnp.ones(batch, bool)
 
-    # compile
-    state, *_ = trainer._train_step(state, video, audio, labels, valid, mask, lrs)
-    jax.block_until_ready(state.params)
+    # compile; sync via host fetches — block_until_ready does not actually
+    # wait on the tunneled axon backend. The state chains through iterations,
+    # so fetching the final loss transitively waits for every step.
+    state, total, *_ = trainer._train_step(state, video, audio, labels, valid, mask, lrs)
+    np.asarray(total)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, total, *_ = trainer._train_step(
             state, video, audio, labels, valid, mask, lrs
         )
-    jax.block_until_ready(state.params)
+    np.asarray(total)
     dt = (time.perf_counter() - t0) / iters
     clips_per_sec = batch / dt
     print(

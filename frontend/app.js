@@ -111,7 +111,12 @@
         for (let i = 0; i < f32.length; i++) {
           pcm[i] = Math.max(-32768, Math.min(32767, Math.round(f32[i] * 32768)));
         }
-        const b64 = btoa(String.fromCharCode(...new Uint8Array(pcm.buffer)));
+        const bytes = new Uint8Array(pcm.buffer);
+        let bin = "";
+        for (let i = 0; i < bytes.length; i += 0x8000) {
+          bin += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+        }
+        const b64 = btoa(bin);
         this.ws.send(JSON.stringify({
           type: "audio",
           pcm_b64: b64,

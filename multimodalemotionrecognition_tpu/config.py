@@ -245,6 +245,8 @@ class ServeConfig:
     worker_name: str = "worker-1"
     checkpoint_path: str = "checkpoints/best.pt"
     mock: bool = False
+    # "float32" preserves reference logit parity; "bfloat16" for TPU speed.
+    compute_dtype: str = "float32"
     # XLA static-shape batch buckets for the dynamic batcher.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     # Streaming (backend/app/config.py:16-19)
@@ -268,4 +270,5 @@ class ServeConfig:
             worker_name=_env("EMO_WORKER_NAME", "worker-1"),
             checkpoint_path=_env("CHECKPOINT_PATH", "checkpoints/best.pt"),
             mock=_env("EMO_MOCK", "0") == "1",
+            compute_dtype=_env("EMO_COMPUTE_DTYPE", "float32"),
         )

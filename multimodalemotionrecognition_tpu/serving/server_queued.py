@@ -67,6 +67,7 @@ def create_app(
             runner = JaxModelRunner(
                 checkpoint or config.checkpoint_path,
                 batch_buckets=config.batch_buckets,
+                compute_dtype=config.compute_dtype,
             )
 
     gateway = InferenceGateway(config)
