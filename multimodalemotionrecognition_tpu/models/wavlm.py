@@ -204,20 +204,25 @@ class WavLMModel(nn.Module):
         cfg = self.config
         dtype = self.dtype or input_values.dtype
 
-        # --- feature extractor: 7 strided conv1d layers, NWC layout ---
+        # --- feature extractor: 7 strided conv1d layers, NWC layout.
+        # Implemented as slice-decomposed matmuls (ops/audio_conv.py): XLA's
+        # native strided-conv lowering runs ~60x slower on TPU for this stack.
+        from multimodalemotionrecognition_tpu.ops.audio_conv import (
+            strided_conv1d_valid,
+        )
+
         x = input_values[..., None]  # [B, T, 1]
+        in_dim = 1
         for i, (dim, stride, kernel) in enumerate(
             zip(cfg.conv_dim, cfg.conv_stride, cfg.conv_kernel)
         ):
-            x = nn.Conv(
-                dim,
-                kernel_size=(kernel,),
-                strides=(stride,),
-                padding="VALID",
-                use_bias=False,
-                dtype=dtype,
-                name=f"feature_extractor.conv_layers.{i}.conv",
-            )(x)
+            w = self.param(
+                f"feature_extractor.conv_layers.{i}.conv.kernel",
+                nn.initializers.lecun_normal(),
+                (kernel, in_dim, dim),
+            )
+            x = strided_conv1d_valid(x, w.astype(dtype), stride)
+            in_dim = dim
             if i == 0:
                 # GroupNorm(groups=channels): per-channel norm over time
                 # (HF WavLMGroupNormConvLayer; torch GroupNorm eps=1e-5).

@@ -61,6 +61,8 @@ class JaxModelRunner:
         )
         from multimodalemotionrecognition_tpu.models.factory import build_model
 
+        import os
+
         sd, config = load_reference_checkpoint(checkpoint_path)
         self.config = config
         if "fusion" in config:
@@ -68,6 +70,10 @@ class JaxModelRunner:
             xattn_head = str(config.get("xattn_head", "concat"))
         else:
             fusion, xattn_head = infer_model_signature(sd)
+            # Env overrides for config-less checkpoints (reference
+            # backend/app/model_loader.py:198-205).
+            fusion = os.environ.get("MODEL_FUSION", fusion)
+            xattn_head = os.environ.get("MODEL_XATTN_HEAD", xattn_head)
         self.fusion_mode = fusion
         self.num_classes = int(
             num_classes if num_classes is not None else config.get("num_classes", 8)
