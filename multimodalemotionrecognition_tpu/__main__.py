@@ -41,6 +41,23 @@ def main() -> None:
         sys.argv = [sys.argv[0]] + argv
         fn()
         return
+    elif command == "convert":
+        # torch .pt checkpoint -> orbax directory (or inspect) and back.
+        import argparse
+
+        p = argparse.ArgumentParser(prog="convert")
+        p.add_argument("--checkpoint", required=True)
+        p.add_argument("--inspect", action="store_true")
+        args = p.parse_args(argv)
+        from multimodalemotionrecognition_tpu.convert import infer_model_signature
+        from multimodalemotionrecognition_tpu.convert.torch_import import (
+            load_reference_checkpoint,
+        )
+
+        sd, config = load_reference_checkpoint(args.checkpoint)
+        print(f"keys: {len(sd)}")
+        print(f"config: {config or '(none; signature=' + str(infer_model_signature(sd)) + ')'}")
+        return
     elif command == "make-data":
         import runpy
 

@@ -449,11 +449,75 @@ class EmotionTrainer:
                 f"Test | loss {test_m['loss']:.4f} acc {test_m['acc']:.4f} "
                 f"f1 {test_m['f1']:.4f}"
             )
+            # Test confusion matrix (reference plots it to W&B,
+            # `src/train.py:304-326,1186-1197`): saved as PNG + CSV.
+            try:
+                cm = self._test_confusion_matrix(state, test_loader)
+                self._save_confusion_matrix(cm, out_dir)
+                result["confusion_matrix"] = cm.tolist()
+            except Exception as exc:  # plotting must never kill a run
+                print(f"[WARNING] confusion matrix failed: {exc}")
         (out_dir / "metrics.jsonl").parent.mkdir(parents=True, exist_ok=True)
         with (out_dir / "metrics.jsonl").open("w") as f:
             for row in history:
                 f.write(json.dumps(row) + "\n")
         return state, result
+
+    def _test_confusion_matrix(self, state, loader) -> np.ndarray:
+        from multimodalemotionrecognition_tpu.utils.metrics import confusion_matrix
+
+        preds, labels = [], []
+        for batch in loader:
+            sb = shard_batch(
+                self.mesh,
+                {
+                    "video": batch.video,
+                    "audio": batch.audio,
+                    "labels": batch.labels,
+                    "valid": batch.valid,
+                },
+            )
+            *_, p = self._eval_step(
+                state.params, state.batch_stats,
+                sb["video"], sb["audio"], sb["labels"], sb["valid"],
+            )
+            valid_np = np.asarray(batch.valid)
+            preds.append(np.asarray(p)[valid_np])
+            labels.append(batch.labels[valid_np])
+        return confusion_matrix(
+            np.concatenate(preds), np.concatenate(labels), self.mc.num_classes
+        )
+
+    def _save_confusion_matrix(self, cm: np.ndarray, out_dir: Path) -> None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.savetxt(out_dir / "confusion_matrix.csv", cm, fmt="%d", delimiter=",")
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from multimodalemotionrecognition_tpu.config import labels_for
+
+            labels = list(labels_for(self.mc.num_classes))
+            fig, ax = plt.subplots(figsize=(8, 8))
+            im = ax.imshow(cm, cmap="Blues")
+            ax.set_xlabel("Predicted")
+            ax.set_ylabel("True")
+            ax.set_xticks(range(len(labels)), labels, rotation=45, ha="right")
+            ax.set_yticks(range(len(labels)), labels)
+            for i in range(cm.shape[0]):
+                for j in range(cm.shape[1]):
+                    ax.text(
+                        j, i, int(cm[i, j]), ha="center", va="center",
+                        color="w" if cm[i, j] > cm.max() / 2 else "black",
+                    )
+            fig.colorbar(im, ax=ax)
+            fig.tight_layout()
+            fig.savefig(out_dir / "confusion_matrix.png", dpi=120)
+            plt.close(fig)
+        except ImportError:
+            pass
 
     # ------------------------------------------------------------------
     # checkpoints
