@@ -47,7 +47,9 @@ def export_stablehlo(
         video, audio = runner._example_inputs(b)
 
         def fn(video, audio):
-            return runner._forward(video, audio)
+            # Closure over the weights is deliberate here: the export must be
+            # a self-contained artifact with parameters baked in (like ONNX).
+            return runner._forward(runner.variables, video, audio)
 
         exported = jax_export.export(jax.jit(fn))(video, audio)
         artifacts[str(b)] = exported.serialize()

@@ -35,16 +35,21 @@ def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_fused_xattn_forward(
-    model, variables, model_config: ModelConfig, interpret: bool = False
-) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """-> forward(video, audio) -> probabilities [B, C]."""
-    params = variables["params"]
-    xp = xattn_params_from_variables(params)
+    model, variables_unused, model_config: ModelConfig, interpret: bool = False
+) -> Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """-> forward(variables, video, audio) -> probabilities [B, C].
+
+    Variables are a runtime argument (NOT a closure capture) so compiled HLO
+    stays parameter-free — see runner._forward for why.
+    """
+    del variables_unused
     head = model_config.resolved_xattn_head
     num_heads = model_config.xattn_heads
     use_prior = model_config.xattn_use_emotion_prior
 
-    def forward(video: jnp.ndarray, audio: jnp.ndarray) -> jnp.ndarray:
+    def forward(variables, video: jnp.ndarray, audio: jnp.ndarray) -> jnp.ndarray:
+        params = variables["params"]
+        xp = xattn_params_from_variables(params)
         v_feat = model.apply(
             variables,
             video,

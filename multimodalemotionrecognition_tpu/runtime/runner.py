@@ -179,13 +179,13 @@ class JaxModelRunner:
                 out[path] = leaf
         return unflatten_dict(out)
 
-    def _dequantized_variables(self):
+    def _dequantize(self, variables):
         """Trace-time dequantization of int8 kernels (no-op when unquantized)."""
         if not self._dequant_scales:
-            return self.variables
+            return variables
         from flax.traverse_util import flatten_dict, unflatten_dict
 
-        flat = flatten_dict(self.variables)
+        flat = flatten_dict(variables)
         out = {}
         for path, leaf in flat.items():
             scale = self._dequant_scales.get(path)
@@ -195,10 +195,14 @@ class JaxModelRunner:
                 out[path] = leaf
         return unflatten_dict(out)
 
-    def _forward(self, video, audio):
+    def _forward(self, variables, video, audio):
+        # NB: variables are an explicit argument, NOT a closure capture —
+        # closed-over arrays get embedded as constants in the HLO, which
+        # bloats (re)compiles by the full parameter size (observed: remote
+        # compile payloads >100 MB, HTTP 413 on the tunneled compiler).
         if self._fused_forward is not None:
-            return self._fused_forward(video, audio)
-        variables = self._dequantized_variables()
+            return self._fused_forward(variables, video, audio)
+        variables = self._dequantize(variables)
         if self.fusion_mode == "audio":
             out = self.model.apply(variables, audio)
         elif self.fusion_mode == "video":
@@ -232,11 +236,13 @@ class JaxModelRunner:
             audios = np.concatenate(
                 [audios, np.zeros((bucket - n,) + audios.shape[1:], np.float32)]
             )
-        probs = self._compiled_for(bucket)(jnp.asarray(videos), jnp.asarray(audios))
+        probs = self._compiled_for(bucket)(
+            self.variables, jnp.asarray(videos), jnp.asarray(audios)
+        )
         return np.asarray(probs)[:n]
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the bucket executables (first TPU compile is slow)."""
         for b in buckets or self.batch_buckets:
             video, audio = self._example_inputs(b)
-            np.asarray(self._compiled_for(b)(video, audio))
+            np.asarray(self._compiled_for(b)(self.variables, video, audio))
