@@ -189,10 +189,33 @@ class DynamicBatcher:
         self.timer = StageTimer()
 
     async def run(self) -> None:
-        while not self._stop.is_set():
-            task_ids = await self._pop_batch()
-            if task_ids:
-                await self._process_batch(task_ids)
+        """Two-stage pipeline: host preprocessing of batch N+1 overlaps TPU
+        inference of batch N (the reference worker is fully serial,
+        `src/inference_worker.py:61-65`)."""
+        prepped: asyncio.Queue = asyncio.Queue(maxsize=2)
+
+        async def producer():
+            while not self._stop.is_set():
+                task_ids = await self._pop_batch()
+                if not task_ids:
+                    continue
+                item = await self._prepare_batch(task_ids)
+                if item is not None:
+                    await prepped.put(item)
+            await prepped.put(None)
+
+        async def consumer():
+            while True:
+                item = await prepped.get()
+                if item is None:
+                    return
+                await self._infer_batch(*item)
+
+        prod = asyncio.create_task(producer())
+        try:
+            await consumer()
+        finally:
+            prod.cancel()
 
     def stop(self) -> None:
         self._stop.set()
@@ -236,7 +259,9 @@ class DynamicBatcher:
         finally:
             media_path.unlink(missing_ok=True)
 
-    async def _process_batch(self, task_ids: List[str]) -> None:
+    async def _prepare_batch(self, task_ids: List[str]):
+        """Stage 1: fetch payloads + thread-pool preprocessing.
+        Returns (infos, prepared, videos, audios) or None."""
         store = self.gateway.store
         infos = []
         for task_id in task_ids:
@@ -254,8 +279,7 @@ class DynamicBatcher:
                 }
             )
         if not infos:
-            return
-
+            return None
         loop = asyncio.get_running_loop()
         try:
             with self.timer.stage("preprocess"):
@@ -264,6 +288,16 @@ class DynamicBatcher:
                 )
                 videos = np.stack([p["video"] for p in prepared])
                 audios = np.stack([p["audio"] for p in prepared])
+        except Exception as exc:
+            for item in infos:
+                self._mark_failed(item["task_id"], str(exc))
+            return None
+        return infos, prepared, videos, audios
+
+    async def _infer_batch(self, infos, prepared, videos, audios) -> None:
+        """Stage 2: jitted TPU forward + per-task result marking."""
+        loop = asyncio.get_running_loop()
+        try:
             with self.timer.stage("infer"):
                 probs = await loop.run_in_executor(
                     None, self.runner.predict_probs, videos, audios
