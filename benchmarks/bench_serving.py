@@ -56,7 +56,9 @@ def main() -> None:
     if args.checkpoint:
         from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
 
-        runner = JaxModelRunner(args.checkpoint, batch_buckets=(args.batch_size,))
+        runner = JaxModelRunner(
+            args.checkpoint, batch_buckets=(args.batch_size,), device_normalize=True
+        )
     else:
         # Random-weight flagship via an in-memory checkpoint.
         from multimodalemotionrecognition_tpu.convert.torch_import import (
@@ -80,7 +82,10 @@ def main() -> None:
             ckpt = Path(d) / "flagship.pt"
             save_torch_checkpoint(ckpt, variables, config=cfg.to_checkpoint_dict())
             runner = JaxModelRunner(
-                str(ckpt), batch_buckets=(args.batch_size,), compute_dtype="bfloat16"
+                str(ckpt),
+                batch_buckets=(args.batch_size,),
+                compute_dtype="bfloat16",
+                device_normalize=True,
             )
 
     print("[bench_serving] warming up buckets...")

@@ -49,6 +49,7 @@ class JaxModelRunner:
         compute_dtype: str = "float32",
         quantize_int8: bool = False,
         fused: bool = False,
+        device_normalize: bool = False,
         donate: bool = False,
     ):
         from multimodalemotionrecognition_tpu.convert import (
@@ -107,6 +108,10 @@ class JaxModelRunner:
             else leaf,
             variables,
         )
+        # device_normalize: accept uint8 video and run /255 + ImageNet
+        # normalization inside the jitted forward (4x less host->device
+        # transfer than pre-normalized float32 frames).
+        self.device_normalize = device_normalize
         self._dequant_scales: Dict[Tuple[str, ...], np.ndarray] = {}
         if quantize_int8:
             variables = self._quantize_dense_int8(variables)
@@ -196,6 +201,15 @@ class JaxModelRunner:
         return unflatten_dict(out)
 
     def _forward(self, variables, video, audio):
+        if video.dtype == jnp.uint8:
+            from multimodalemotionrecognition_tpu.config import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
+            video = (video.astype(jnp.float32) / 255.0 - mean) / std
         # NB: variables are an explicit argument, NOT a closure capture —
         # closed-over arrays get embedded as constants in the HLO, which
         # bloats (re)compiles by the full parameter size (observed: remote
@@ -225,13 +239,15 @@ class JaxModelRunner:
 
     def predict_probs(self, videos: np.ndarray, audios: np.ndarray) -> np.ndarray:
         """[B,...] inputs -> [B, num_classes] probabilities (host numpy)."""
-        videos = np.asarray(videos, dtype=np.float32)
+        videos = np.asarray(videos)
+        if not (self.device_normalize and videos.dtype == np.uint8):
+            videos = videos.astype(np.float32)
         audios = np.asarray(audios, dtype=np.float32)
         n = videos.shape[0] if self.fusion_mode != "audio" else audios.shape[0]
         bucket = _bucket_for(n, self.batch_buckets)
         if n != bucket:
             videos = np.concatenate(
-                [videos, np.zeros((bucket - n,) + videos.shape[1:], np.float32)]
+                [videos, np.zeros((bucket - n,) + videos.shape[1:], videos.dtype)]
             )
             audios = np.concatenate(
                 [audios, np.zeros((bucket - n,) + audios.shape[1:], np.float32)]

@@ -249,6 +249,7 @@ class DynamicBatcher:
                 media_path,
                 use_face_crop=True,
                 use_wavlm=bool(getattr(self.runner, "use_wavlm", False)),
+                raw_uint8=bool(getattr(self.runner, "device_normalize", False)),
             )
             return {
                 "task_id": item["task_id"],

@@ -133,10 +133,40 @@ class EmotionPreprocessService:
     # ------------------------------------------------------------- entry points
 
     def preprocess_video_audio(
-        self, video_path: str | Path, use_face_crop: bool = True, use_wavlm: bool = False
+        self,
+        video_path: str | Path,
+        use_face_crop: bool = True,
+        use_wavlm: bool = False,
+        raw_uint8: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """File -> (video [1,T,3,H,W], audio [1,1,...]).  Audio comes straight
-        from the container via libav (no ffmpeg subprocess / temp WAV)."""
+        from the container via libav (no ffmpeg subprocess / temp WAV).
+
+        raw_uint8=True skips ImageNet normalization and returns uint8 frames —
+        4x less host->device transfer; the jitted forward normalizes on-device
+        (JaxModelRunner device_normalize)."""
+        if raw_uint8:
+            from multimodalemotionrecognition_tpu.data.media import (
+                load_video_frames,
+            )
+
+            frames = load_video_frames(
+                video_path,
+                num_frames=self.video.num_frames,
+                size=self.video.size,
+                augment=False,
+                use_face_crop=use_face_crop,
+                normalize=False,
+            )  # [T,3,H,W] float 0..1
+            video = np.clip(frames * 255.0 + 0.5, 0, 255).astype(np.uint8)[None]
+            wav = load_audio_wav(
+                video_path,
+                sample_rate=self.audio.sample_rate,
+                duration_sec=self.audio.duration_sec,
+                augment=False,
+            )
+            audio = wav if use_wavlm else self._mel(wav)
+            return video, audio[None].astype(np.float32)
         video = self.load_video_frames(video_path, use_face_crop=use_face_crop)[None]
         wav = load_audio_wav(
             video_path,

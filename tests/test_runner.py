@@ -126,3 +126,22 @@ def test_runner_fused_matches_modular(xattn_checkpoint):
     pm = modular.predict_probs(video, audio)
     pf = fused.predict_probs(video, audio)
     np.testing.assert_allclose(pf, pm, atol=5e-5, rtol=5e-5)
+
+
+def test_runner_device_normalize_uint8(xattn_checkpoint):
+    """uint8 video + on-device ImageNet normalization matches the host-
+    normalized float path (up to uint8 quantization)."""
+    path, *_ = xattn_checkpoint
+    host = JaxModelRunner(path)
+    dev = JaxModelRunner(path, device_normalize=True)
+    rng = np.random.RandomState(4)
+    video_u8 = rng.randint(0, 256, (2, 8, 3, 112, 112)).astype(np.uint8)
+    audio = rng.randn(2, 1, 64, 301).astype(np.float32)
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 1, 3, 1, 1)
+    std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 1, 3, 1, 1)
+    video_f32 = (video_u8.astype(np.float32) / 255.0 - mean) / std
+
+    p_host = host.predict_probs(video_f32, audio)
+    p_dev = dev.predict_probs(video_u8, audio)
+    np.testing.assert_allclose(p_dev, p_host, atol=1e-4, rtol=1e-4)
