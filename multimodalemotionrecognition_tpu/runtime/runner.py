@@ -145,8 +145,16 @@ class JaxModelRunner:
 
     # ------------------------------------------------------------------
 
-    def _example_inputs(self, batch: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        video = jnp.zeros((batch, 8, 3, 112, 112), jnp.float32)
+    def _example_inputs(
+        self, batch: int = 1, for_init: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # init always traces with float video; the serving wire format may be
+        # uint8 (device_normalize) — warmup must match it to pre-compile the
+        # right executable.
+        video_dtype = (
+            jnp.uint8 if (self.device_normalize and not for_init) else jnp.float32
+        )
+        video = jnp.zeros((batch, 8, 3, 112, 112), video_dtype)
         if self.use_wavlm:
             audio = jnp.zeros((batch, 1, 48000), jnp.float32)
         else:
@@ -156,7 +164,7 @@ class JaxModelRunner:
         return video, audio
 
     def _init_fn(self):
-        video, audio = self._example_inputs()
+        video, audio = self._example_inputs(for_init=True)
         if self.fusion_mode == "audio":
             return lambda: self.model.init(jax.random.PRNGKey(0), audio)
         if self.fusion_mode == "video":
