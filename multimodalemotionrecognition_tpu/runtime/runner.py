@@ -82,6 +82,10 @@ class JaxModelRunner:
         self.use_wavlm = bool(config.get("use_wavlm", checkpoint_uses_wavlm(sd)))
         self.labels = list(labels_for(self.num_classes))
         self.batch_buckets = tuple(sorted(batch_buckets))
+        # device_normalize: accept uint8 video and run /255 + ImageNet
+        # normalization inside the jitted forward (4x less host->device
+        # transfer than pre-normalized float32 frames).
+        self.device_normalize = device_normalize
 
         self.model_config = ModelConfig.from_checkpoint_dict(
             {**config, "fusion": fusion, "xattn_head": xattn_head},
@@ -108,10 +112,6 @@ class JaxModelRunner:
             else leaf,
             variables,
         )
-        # device_normalize: accept uint8 video and run /255 + ImageNet
-        # normalization inside the jitted forward (4x less host->device
-        # transfer than pre-normalized float32 frames).
-        self.device_normalize = device_normalize
         self._dequant_scales: Dict[Tuple[str, ...], np.ndarray] = {}
         if quantize_int8:
             variables = self._quantize_dense_int8(variables)
