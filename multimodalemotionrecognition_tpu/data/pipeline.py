@@ -189,7 +189,19 @@ class BatchedLoader:
             stop.set()
 
 
-def build_loaders(config: DataConfig, batch_size: int):
+def auto_num_threads(requested: int = -1) -> int:
+    """Decode-thread policy (reference `_build_loader_kwargs`,
+    `src/train.py:45-73`, minus the WSL special cases): explicit value wins;
+    auto = min(8, max(2, cpus//2))."""
+    if requested >= 0:
+        return max(1, requested)
+    import os
+
+    cpus = os.cpu_count() or 4
+    return min(8, max(2, cpus // 2))
+
+
+def build_loaders(config: DataConfig, batch_size: int, num_workers: int = -1):
     """Pairs -> (train, val, test) loaders; mirrors `build_dataloaders`
     (`src/train.py:76-182`): pairs.csv written, stratified seed-42 or
     actor-based splits, augmentation on train only."""
@@ -219,17 +231,21 @@ def build_loaders(config: DataConfig, batch_size: int):
             pairs, config.train_actors, config.val_actors, config.test_actors
         )
 
+    threads = auto_num_threads(num_workers)
     train_loader = BatchedLoader(
         train_p,
         EmotionSampleLoader(config, augment=config.train_augment),
         batch_size,
         shuffle=True,
         seed=config.seed,
+        num_threads=threads,
     )
     val_loader = BatchedLoader(
-        val_p, EmotionSampleLoader(config, augment=False), batch_size
+        val_p, EmotionSampleLoader(config, augment=False), batch_size,
+        num_threads=threads,
     )
     test_loader = BatchedLoader(
-        test_p, EmotionSampleLoader(config, augment=False), batch_size
+        test_p, EmotionSampleLoader(config, augment=False), batch_size,
+        num_threads=threads,
     )
     return train_loader, val_loader, test_loader

@@ -55,6 +55,9 @@ class TaskStore:
         for d in (self._tasks, self._payloads):
             for k in [k for k, (exp, _) in d.items() if exp < now]:
                 d.pop(k, None)
+        # Events follow their task's lifetime (else they leak per request).
+        for k in [k for k in self._events if k not in self._tasks]:
+            self._events.pop(k, None)
 
     def create_task(self, filename: str, payload: bytes) -> str:
         self._sweep()

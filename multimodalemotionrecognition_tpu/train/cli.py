@@ -88,6 +88,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument(
+        "--num_workers",
+        type=int,
+        default=-1,
+        help="decode threads (-1: auto = min(8, max(2, cpus//2)); reference "
+        "src/train.py:45-73 policy, threads instead of worker processes)",
+    )
     return p
 
 
@@ -171,7 +178,7 @@ def main(argv=None) -> None:
     from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
 
     train_loader, val_loader, test_loader = build_loaders(
-        data_cfg, train_cfg.batch_size
+        data_cfg, train_cfg.batch_size, num_workers=args.num_workers
     )
     print(
         f"Train pairs: {train_loader.num_samples} | "
