@@ -221,6 +221,10 @@ class TrainConfig:
     # TPU-specific
     donate_buffers: bool = True
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
+    # Rematerialize the forward during backprop (jax.checkpoint): trades
+    # ~30% extra FLOPs for a large activation-memory cut — lets batch sizes
+    # grow past HBM limits.
+    remat: bool = False
 
 
 def _env(name: str, default: str) -> str:

@@ -163,11 +163,17 @@ class EmotionTrainer:
             }
             audio = self._audio_features(audio_wav)
 
-            def loss_fn(params):
+            def forward(params, video, audio):
                 variables = {"params": params, "batch_stats": state.batch_stats}
-                outputs, aux, updates = self._apply(
-                    variables, video, audio, True, rngs, mutable=True
-                )
+                return self._apply(variables, video, audio, True, rngs, mutable=True)
+
+            if self.tc.remat:
+                # Rematerialize activations during backprop (jax.checkpoint):
+                # ~1.3x FLOPs for a large HBM cut on the encoder towers.
+                forward = jax.checkpoint(forward)
+
+            def loss_fn(params):
+                outputs, aux, updates = forward(params, video, audio)
                 total, cls_loss, contrastive = self._losses(
                     outputs, aux, labels, valid
                 )

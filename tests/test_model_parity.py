@@ -175,3 +175,22 @@ def test_late_fusion_returns_probabilities():
     out, _ = model.apply(variables, video, audio)
     np.testing.assert_allclose(np.asarray(out.sum(axis=1)), 1.0, rtol=1e-5)
     assert (np.asarray(out) >= 0).all()
+
+
+def test_fusion_parity_xattn_attn_pooling():
+    """xattn with learnable attention pooling (non-default temporal mode)."""
+    torch_model = _torch_fusion("xattn", xattn_head="concat", temporal_pooling="attn")
+    flax_model = _flax_fusion(
+        "xattn",
+        xattn_head="concat",
+        temporal_pooling="attn",
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+    )
+    video, audio = _video_input(), _mel_input()
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(video), torch.from_numpy(audio))
+    jv, ja = jnp.asarray(video), jnp.asarray(audio)
+    variables, _ = convert(torch_model, flax_model, jv, ja)
+    out, _ = flax_model.apply(variables, jv, ja)
+    assert_close(out, ref.numpy(), atol=5e-4, rtol=5e-4)

@@ -267,3 +267,34 @@ class TestShardedTraining:
         batches = _ListLoader(_toy_batches(n_batches=1, b=8))
         state, result = trainer.fit(batches, _ListLoader(_toy_batches(1, b=8, seed=4)))
         assert np.isfinite(result["history"][0]["train/loss"])
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self):
+        """jax.checkpoint changes memory, not math: one step with remat
+        produces the same params as without."""
+        from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
+
+        cfg = _small_model_cfg("concat")
+        batch = _toy_batches(1)[0]
+        args_np = (batch.video, batch.audio, batch.labels, batch.valid)
+
+        results = []
+        for remat in (False, True):
+            tc = TrainConfig(lr=1e-3, remat=remat, donate_buffers=False)
+            trainer = EmotionTrainer(cfg, tc)
+            state = trainer.init_state()
+            mask = trainable_mask(state.params, cfg, tc, stage=0)
+            lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+            args = tuple(jnp.asarray(a) for a in args_np)
+            state, total, *_ = trainer._train_step(state, *args, mask, lrs)
+            results.append((float(total), jax.device_get(state.params)))
+
+        assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+        from flax.traverse_util import flatten_dict
+
+        a, b = flatten_dict(results[0][1]), flatten_dict(results[1][1])
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-6, err_msg=str(k)
+            )
