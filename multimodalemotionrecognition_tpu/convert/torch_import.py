@@ -104,12 +104,10 @@ def normalize_torch_state_dict(
             continue
         # torch weight_norm with dim=2 (WavLM pos conv): w = g * v / ||v||
         # where the norm is over all dims except `dim`. g carries the shape
-        # that broadcasts correctly.
-        axes = tuple(i for i in range(v.ndim) if g.shape[i] != v.shape[i] or g.shape[i] == 1)
+        # that broadcasts correctly (size-1 on the normed axes).
         norm_axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1)
         norm = np.sqrt(np.sum(v**2, axis=norm_axes, keepdims=True))
         out[f"{mod}.weight"] = (g * v / np.maximum(norm, 1e-12)).astype(v.dtype)
-        del axes
     return out
 
 

@@ -174,6 +174,18 @@ def main(argv=None) -> None:
     args = build_arg_parser().parse_args(argv)
     model_cfg, train_cfg, data_cfg = configs_from_args(args)
 
+    from multimodalemotionrecognition_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(
+            f"[INFO] multi-host: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.device_count()} global devices"
+        )
+
     from multimodalemotionrecognition_tpu.data.pipeline import build_loaders
     from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
 
