@@ -251,6 +251,10 @@ class ServeConfig:
     mock: bool = False
     # "float32" preserves reference logit parity; "bfloat16" for TPU speed.
     compute_dtype: str = "float32"
+    # Fused Pallas cross-attention inference path for xattn checkpoints.
+    fused_xattn: bool = False
+    # uint8 video wire format with on-device normalization.
+    device_normalize: bool = True
     # XLA static-shape batch buckets for the dynamic batcher.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     # Streaming (backend/app/config.py:16-19)
@@ -275,4 +279,6 @@ class ServeConfig:
             checkpoint_path=_env("CHECKPOINT_PATH", "checkpoints/best.pt"),
             mock=_env("EMO_MOCK", "0") == "1",
             compute_dtype=_env("EMO_COMPUTE_DTYPE", "float32"),
+            fused_xattn=_env("EMO_FUSED_XATTN", "0") == "1",
+            device_normalize=_env("EMO_DEVICE_NORMALIZE", "1") == "1",
         )

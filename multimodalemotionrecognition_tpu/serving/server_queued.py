@@ -68,6 +68,8 @@ def create_app(
                 checkpoint or config.checkpoint_path,
                 batch_buckets=config.batch_buckets,
                 compute_dtype=config.compute_dtype,
+                fused=config.fused_xattn,
+                device_normalize=config.device_normalize,
             )
 
     gateway = InferenceGateway(config)
