@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 from aiohttp import web
 
-from multimodalemotionrecognition_tpu.config import ServeConfig, labels_for
+from multimodalemotionrecognition_tpu.config import ServeConfig
 from multimodalemotionrecognition_tpu.serving.batcher import GatewayError
 from multimodalemotionrecognition_tpu.serving.http import (
     cors_middleware,

@@ -21,7 +21,7 @@ stage flip exactly as the reference rebuilds torch.optim.Adam.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from flax.traverse_util import flatten_dict, unflatten_dict
 
