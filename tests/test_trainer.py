@@ -298,3 +298,25 @@ class TestRemat:
             np.testing.assert_allclose(
                 np.asarray(a[k]), np.asarray(b[k]), atol=1e-6, err_msg=str(k)
             )
+
+
+class TestBf16Training:
+    def test_bf16_compute_step_finite(self):
+        """compute_dtype=bfloat16 trains (params stay f32, loss finite)."""
+        from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
+
+        cfg = _small_model_cfg("concat", compute_dtype="bfloat16")
+        tc = TrainConfig(lr=1e-3)
+        trainer = EmotionTrainer(cfg, tc)
+        state = trainer.init_state()
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32  # params stay full precision
+        mask = trainable_mask(state.params, cfg, tc, stage=0)
+        lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels), jnp.asarray(batch.valid),
+        )
+        state, total, *_ = trainer._train_step(state, *args, mask, lrs)
+        assert np.isfinite(float(total))
