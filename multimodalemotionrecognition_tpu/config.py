@@ -247,6 +247,10 @@ class ServeConfig:
     queue_name: str = "emo:inference:queue"
     task_prefix: str = "emo:task:"
     worker_name: str = "worker-1"
+    # When set, the queued API becomes a multi-host *gateway*: tasks go over
+    # Redis (RPUSH/HSET, reference `src/inference_server.py:69-89`) to remote
+    # RedisWorker hosts instead of the in-process batcher.
+    redis_url: Optional[str] = None
     checkpoint_path: str = "checkpoints/best.pt"
     mock: bool = False
     # "float32" preserves reference logit parity; "bfloat16" for TPU speed.
@@ -276,6 +280,7 @@ class ServeConfig:
             queue_name=_env("EMO_QUEUE_NAME", "emo:inference:queue"),
             task_prefix=_env("EMO_TASK_PREFIX", "emo:task:"),
             worker_name=_env("EMO_WORKER_NAME", "worker-1"),
+            redis_url=_env("EMO_REDIS_URL", "") or None,
             checkpoint_path=_env("CHECKPOINT_PATH", "checkpoints/best.pt"),
             mock=_env("EMO_MOCK", "0") == "1",
             compute_dtype=_env("EMO_COMPUTE_DTYPE", "float32"),

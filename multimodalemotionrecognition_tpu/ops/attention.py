@@ -5,7 +5,7 @@ qkv projection and an optional additive float attn_mask
 (`src/models/fusion.py:276-281,393-398`).  This module reproduces that math in
 Flax (packed `in_proj` parameters so reference checkpoints load 1:1) while
 letting XLA fuse it; a Pallas fused variant lives in
-`ops/pallas_fused_xattn.py` for the serving fast path.
+`ops/pallas_xattn.py` for the serving fast path.
 """
 
 from __future__ import annotations

@@ -60,7 +60,6 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a pytree of host arrays with the batch dim sharded."""
-    sharding = batch_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
@@ -107,13 +106,11 @@ def shard_params(mesh: Mesh, variables: Any) -> Any:
         spec = param_sharding_rules(joined, use_tp)
         # Skip TP specs that don't divide evenly (e.g. tiny test models).
         if use_tp and spec != P():
-            dims = [d for d in spec if d is not None]
-            ok = True
-            for axis_i, name in enumerate(spec):
-                if name is not None and leaf.shape[axis_i] % mesh.shape[name] != 0:
-                    ok = False
-            if not ok:
+            divisible = all(
+                name is None or leaf.shape[axis_i] % mesh.shape[name] == 0
+                for axis_i, name in enumerate(spec)
+            )
+            if not divisible:
                 spec = P()
-            del dims
         out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return unflatten_dict(out)

@@ -113,12 +113,23 @@ class ExportedRunner:
 
     def predict_probs(self, videos: np.ndarray, audios: np.ndarray) -> np.ndarray:
         n = len(videos)
-        bucket = next((b for b in self._buckets if b >= n), self._buckets[-1])
+        max_bucket = self._buckets[-1]
+        if n > max_bucket:
+            # Chunk oversized requests through the largest exported bucket
+            # (mirrors JaxModelRunner._bucket_for; the reference's ONNX path
+            # has a dynamic batch axis so it never truncates,
+            # `src/optimized_runtime.py:133-143`).
+            outs = [
+                self.predict_probs(videos[i : i + max_bucket], audios[i : i + max_bucket])
+                for i in range(0, n, max_bucket)
+            ]
+            return np.concatenate(outs, axis=0)
+        bucket = next(b for b in self._buckets if b >= n)
         pad = bucket - n
         if pad > 0:
             videos = np.concatenate([videos, np.zeros((pad,) + videos.shape[1:], np.float32)])
             audios = np.concatenate([audios, np.zeros((pad,) + audios.shape[1:], np.float32)])
-        out = np.asarray(self._fns[bucket](videos[:bucket], audios[:bucket]))
+        out = np.asarray(self._fns[bucket](videos, audios))
         return out[:n]
 
 

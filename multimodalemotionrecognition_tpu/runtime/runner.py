@@ -116,7 +116,9 @@ class JaxModelRunner:
         if quantize_int8:
             variables = self._quantize_dense_int8(variables)
         self.variables = jax.device_put(variables)
-        self._compiled: Dict[int, Any] = {}
+        # One jit wrapper; XLA's own shape cache keys the per-bucket
+        # executables (a per-bucket dict of jax.jit objects would be redundant).
+        self._jitted_forward = jax.jit(self._forward)
         self._fused_forward = None
         if fused and quantize_int8:
             print(
@@ -238,11 +240,6 @@ class JaxModelRunner:
             return out
         return jax.nn.softmax(out, axis=1)
 
-    def _compiled_for(self, batch: int):
-        if batch not in self._compiled:
-            self._compiled[batch] = jax.jit(self._forward)
-        return self._compiled[batch]
-
     # ------------------------------------------------------------------
 
     def predict_probs(self, videos: np.ndarray, audios: np.ndarray) -> np.ndarray:
@@ -260,7 +257,7 @@ class JaxModelRunner:
             audios = np.concatenate(
                 [audios, np.zeros((bucket - n,) + audios.shape[1:], np.float32)]
             )
-        probs = self._compiled_for(bucket)(
+        probs = self._jitted_forward(
             self.variables, jnp.asarray(videos), jnp.asarray(audios)
         )
         return np.asarray(probs)[:n]
@@ -269,4 +266,4 @@ class JaxModelRunner:
         """Pre-compile the bucket executables (first TPU compile is slow)."""
         for b in buckets or self.batch_buckets:
             video, audio = self._example_inputs(b)
-            np.asarray(self._compiled_for(b)(self.variables, video, audio))
+            np.asarray(self._jitted_forward(self.variables, video, audio))

@@ -1,27 +1,33 @@
-"""Optional Redis transport for multi-host serving scale-out.
+"""Redis transport for multi-host serving scale-out: BOTH halves.
 
 Within one TPU host the in-process batcher (serving/batcher.py) replaces the
 reference's Redis machinery entirely.  Across hosts, the reference's pattern —
 a Redis list as the work queue, task hashes as the result store
 (`src/inference_server.py:53-151`, `src/inference_worker.py:46-219`) — still
-applies: N gateway hosts RPUSH task ids, M TPU hosts run `RedisWorker`
-(this module) which drains batches into the local JaxModelRunner.
+applies: N gateway hosts run `RedisGateway` (producer: HSET task + SET payload
++ RPUSH id), M TPU hosts run `RedisWorker` (consumer: BLPOP/LPOP batches into
+the local JaxModelRunner).  `server_queued.create_app` selects the gateway
+automatically when `EMO_REDIS_URL` is set, so one compose file assembles the
+full topology.
 
 Key schema and JSON contract are byte-identical to the reference
 (`emo:task:{uuid}`, `emo:task:{uuid}:payload`, `emo:inference:queue`).
 Gated on the `redis` package (not installed in the dev image; deployment
-installs it).
+installs it) — both classes also accept an injected client, which is how the
+fake-redis tests and custom pools plug in.
 """
 
 from __future__ import annotations
 
+import asyncio
 import json
 import time
-from typing import Any, Dict, List, Optional
+import uuid
+from typing import Any, Dict, List, Optional, Tuple
 
 from multimodalemotionrecognition_tpu.config import ServeConfig
 
-__all__ = ["redis_available", "RedisWorker"]
+__all__ = ["redis_available", "RedisGateway", "RedisWorker"]
 
 
 def redis_available() -> bool:
@@ -31,6 +37,137 @@ def redis_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+class RedisGateway:
+    """Producer half of the multi-host topology: submits tasks to Redis and
+    awaits results (reference RedisInferenceGateway,
+    `src/inference_server.py:53-151`).
+
+    API-compatible with `batcher.InferenceGateway` so `server_queued`'s
+    endpoint handlers work unchanged.  Redis calls are synchronous redis-py
+    calls pushed through `run_in_executor` so the aiohttp event loop never
+    blocks on the TCP round-trip (the reference uses redis.asyncio; the
+    executor hop is the same non-blocking contract without a second client
+    API surface).
+    """
+
+    def __init__(
+        self,
+        config: Optional[ServeConfig] = None,
+        redis_url: Optional[str] = None,
+        client=None,
+    ):
+        self.config = config or ServeConfig.from_env()
+        self.redis_url = redis_url or self.config.redis_url or "redis://localhost:6379/0"
+        if client is None:
+            import redis
+
+            client = redis.Redis.from_url(self.redis_url, decode_responses=False)
+        self.redis = client
+        self.started_at = time.time()
+
+    # --- key schema (reference `src/inference_server.py:141-151`) ---
+
+    def _task_key(self, task_id: str) -> str:
+        return f"{self.config.task_prefix}{task_id}"
+
+    def _payload_key(self, task_id: str) -> str:
+        return f"{self.config.task_prefix}{task_id}:payload"
+
+    @staticmethod
+    def _decode(value) -> str:
+        return value.decode("utf-8") if isinstance(value, bytes) else value
+
+    async def _call(self, fn, *args, **kwargs):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(None, lambda: fn(*args, **kwargs))
+
+    # --- producer (reference `src/inference_server.py:69-89`) ---
+
+    def _submit_sync(self, filename: str, payload: bytes) -> str:
+        task_id = str(uuid.uuid4())
+        self.redis.hset(
+            self._task_key(task_id),
+            mapping={
+                "status": "queued",
+                "filename": filename or "upload.mp4",
+                "submitted_at": str(time.time()),
+            },
+        )
+        self.redis.expire(self._task_key(task_id), self.config.result_ttl_sec)
+        self.redis.set(
+            self._payload_key(task_id), payload, ex=self.config.payload_ttl_sec
+        )
+        self.redis.rpush(self.config.queue_name, task_id)
+        return task_id
+
+    async def submit(self, filename: str, payload: bytes) -> str:
+        from multimodalemotionrecognition_tpu.serving.batcher import GatewayError
+
+        if not payload:
+            raise GatewayError(400, "Uploaded file is empty.")
+        return await self._call(self._submit_sync, filename, payload)
+
+    async def submit_many(self, items: List[Tuple[str, bytes]]) -> List[str]:
+        return [await self.submit(f, p) for f, p in items]
+
+    # --- result retrieval (reference `src/inference_server.py:91-121`) ---
+
+    def _get_task_sync(self, task_id: str) -> Optional[Dict[str, Any]]:
+        raw = self.redis.hgetall(self._task_key(task_id))
+        if not raw:
+            return None
+        task = {self._decode(k): self._decode(v) for k, v in raw.items()}
+        if "result" in task:
+            task["result"] = json.loads(task["result"])
+        return task
+
+    async def get_result(self, task_id: str) -> Dict[str, Any]:
+        from multimodalemotionrecognition_tpu.serving.batcher import GatewayError
+
+        task = await self._call(self._get_task_sync, task_id)
+        if not task:
+            raise GatewayError(404, f"Task not found: {task_id}")
+        return task
+
+    async def wait_for_result(
+        self, task_id: str, timeout_sec: Optional[float] = None
+    ) -> Dict[str, Any]:
+        from multimodalemotionrecognition_tpu.serving.batcher import GatewayError
+
+        timeout = (
+            self.config.predict_timeout_sec if timeout_sec is None else float(timeout_sec)
+        )
+        deadline = time.monotonic() + timeout
+        poll = max(self.config.poll_interval_ms, 1.0) / 1000.0
+        while True:
+            task = await self._call(self._get_task_sync, task_id)
+            status = task.get("status") if task else None
+            if status == "completed":
+                return task["result"]
+            if status == "failed":
+                raise GatewayError(500, task.get("error", "Inference failed."))
+            if time.monotonic() >= deadline:
+                raise GatewayError(202, {"task_id": task_id, "status": status})
+            await asyncio.sleep(poll)
+
+    def queue_stats(self) -> Dict[str, Any]:
+        """Byte-compatible /queue/status payload
+        (`src/inference_server.py:123-134`)."""
+        try:
+            queue_size = int(self.redis.llen(self.config.queue_name))
+        except Exception:
+            queue_size = -1
+        return {
+            "redis_url": self.redis_url,
+            "queue_key": self.config.queue_name,
+            "queue_size": queue_size,
+            "batch_size": self.config.batch_size,
+            "batch_timeout_ms": int(self.config.batch_timeout_ms),
+            "worker_count_hint": 1,
+            "uptime_sec": round(time.time() - self.started_at, 2),
+        }
 
 
 class RedisWorker:
@@ -44,15 +181,18 @@ class RedisWorker:
         redis_url: str = "redis://localhost:6379/0",
         preprocess=None,
         idle_timeout_sec: int = 1,
+        client=None,
     ):
-        import redis
-
         from multimodalemotionrecognition_tpu.serving.preprocess import (
             EmotionPreprocessService,
         )
 
         self.config = config or ServeConfig.from_env()
-        self.redis = redis.Redis.from_url(redis_url, decode_responses=False)
+        if client is None:
+            import redis
+
+            client = redis.Redis.from_url(redis_url, decode_responses=False)
+        self.redis = client
         self.runner = runner
         self.preprocess = preprocess or EmotionPreprocessService()
         self.idle_timeout_sec = idle_timeout_sec

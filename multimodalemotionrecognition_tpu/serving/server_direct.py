@@ -50,6 +50,15 @@ def create_app(
     except Exception as e:  # reference falls back to mock on ANY init error
         print(f"[ERROR] Failed to initialize predictor: {e}")
         predictor = EmotionPredictor(mock_mode=True, num_classes=num_classes)
+    if predictor.runner is not None:
+        # Pre-compile the single-clip executable so the first upload doesn't
+        # pay the XLA compile (reference loads the model at startup,
+        # `backend/app/main.py:129-136`; the direct backend serves one clip
+        # per request so bucket 1 is the hot executable).
+        try:
+            predictor.runner.warmup(buckets=(1,))
+        except Exception as exc:
+            print(f"[WARNING] Runner warmup failed (will compile lazily): {exc}")
     streaming = StreamingSessionManager(predictor)
 
     app = web.Application(middlewares=[cors_middleware], client_max_size=256 * 2**20)

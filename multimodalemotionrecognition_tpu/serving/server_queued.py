@@ -56,24 +56,48 @@ def create_app(
     runner=None,
     mock: bool = False,
     checkpoint: Optional[str] = None,
+    redis_client=None,
 ) -> web.Application:
     config = config or ServeConfig.from_env()
-    if runner is None:
-        if mock or config.mock:
-            runner = _MockRunner()
-        else:
-            from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
+    # EMO_REDIS_URL set -> this host is a pure *gateway*: tasks go over Redis
+    # to remote RedisWorker hosts; no local model, no local batcher
+    # (reference topology `src/inference_server.py` + N `inference_worker`
+    # processes, README.md:222-248).
+    use_redis = bool(config.redis_url) or redis_client is not None
+    batcher = None
+    if use_redis:
+        from multimodalemotionrecognition_tpu.serving.redis_transport import (
+            RedisGateway,
+        )
 
-            runner = JaxModelRunner(
-                checkpoint or config.checkpoint_path,
-                batch_buckets=config.batch_buckets,
-                compute_dtype=config.compute_dtype,
-                fused=config.fused_xattn,
-                device_normalize=config.device_normalize,
-            )
+        gateway = RedisGateway(config, client=redis_client)
+    else:
+        if runner is None:
+            if mock or config.mock:
+                runner = _MockRunner()
+            else:
+                from multimodalemotionrecognition_tpu.runtime.runner import (
+                    JaxModelRunner,
+                )
 
-    gateway = InferenceGateway(config)
-    batcher = DynamicBatcher(gateway, runner, config)
+                runner = JaxModelRunner(
+                    checkpoint or config.checkpoint_path,
+                    batch_buckets=config.batch_buckets,
+                    compute_dtype=config.compute_dtype,
+                    fused=config.fused_xattn,
+                    device_normalize=config.device_normalize,
+                )
+            # Pre-compile the bucket executables at startup so the first real
+            # request doesn't pay the XLA compile (reference loads the model
+            # at startup, `backend/app/main.py:129-136`).
+            if hasattr(runner, "warmup"):
+                try:
+                    runner.warmup()
+                except Exception as exc:
+                    print(f"[WARNING] Runner warmup failed (will compile lazily): {exc}")
+
+        gateway = InferenceGateway(config)
+        batcher = DynamicBatcher(gateway, runner, config)
     try:
         predictor = EmotionPredictor(
             mock_mode=mock or config.mock,
@@ -91,17 +115,19 @@ def create_app(
     app["streaming"] = streaming
     app["runner"] = runner
 
-    async def start_batcher(app):
-        app["batcher_task"] = asyncio.create_task(batcher.run())
+    if batcher is not None:
 
-    async def stop_batcher(app):
-        batcher.stop()
-        task = app.get("batcher_task")
-        if task:
-            task.cancel()
+        async def start_batcher(app):
+            app["batcher_task"] = asyncio.create_task(batcher.run())
 
-    app.on_startup.append(start_batcher)
-    app.on_cleanup.append(stop_batcher)
+        async def stop_batcher(app):
+            batcher.stop()
+            task = app.get("batcher_task")
+            if task:
+                task.cancel()
+
+        app.on_startup.append(start_batcher)
+        app.on_cleanup.append(stop_batcher)
 
     async def health(request):
         stats = gateway.queue_stats()
@@ -160,10 +186,10 @@ def create_app(
 
     async def metrics(request):
         """Additive observability endpoint (the reference has none): rolling
-        per-stage latencies of the dynamic batcher."""
-        return json_response(
-            {"stages": batcher.timer.summary(), **gateway.queue_stats()}
-        )
+        per-stage latencies of the dynamic batcher (empty in gateway mode —
+        the batcher lives on the worker hosts)."""
+        stages = batcher.timer.summary() if batcher is not None else {}
+        return json_response({"stages": stages, **gateway.queue_stats()})
 
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)

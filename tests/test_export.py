@@ -60,3 +60,27 @@ def test_export_missing_meta_raises(tmp_path):
     np.savez(p.with_suffix(""), **{"1": np.zeros(4, np.uint8)})
     with pytest.raises(FileNotFoundError):
         load_exported(str(tmp_path / "nothing.stablehlo"))
+
+
+def test_export_over_max_bucket_chunks(gated_checkpoint, tmp_path):
+    """Requests larger than the biggest exported bucket must be chunked, not
+    silently truncated (the reference ONNX path has a dynamic batch axis,
+    src/optimized_runtime.py:133-143 — never loses rows)."""
+    from multimodalemotionrecognition_tpu.runtime.export import (
+        export_stablehlo,
+        load_exported,
+    )
+    from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
+
+    out = export_stablehlo(
+        gated_checkpoint, str(tmp_path / "gated_small.stablehlo"), batch_sizes=(1, 2)
+    )
+    exported = load_exported(str(out))
+    runner = JaxModelRunner(gated_checkpoint)
+    rng = np.random.RandomState(1)
+    n = 5  # > max bucket (2), not a multiple of it
+    video = rng.randn(n, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(n, 1, 64, 301).astype(np.float32)
+    probs = exported.predict_probs(video, audio)
+    assert probs.shape == (n, 8)
+    np.testing.assert_allclose(probs, runner.predict_probs(video, audio), atol=1e-6)
