@@ -8,6 +8,7 @@ Commands map onto the reference's entry points:
   serve-direct   backend/app/main.py
   serve-queued   src/inference_server.py (+ worker, fused in-process)
   redis-worker   src/inference_worker.py (multi-host scale-out)
+  convert-pretrained  raw torchvision/HF state dict -> branch checkpoint (new)
   make-data      synthetic dataset generator (new)
   build-native   build the C++ libav media decoder (new)
 """
@@ -41,6 +42,8 @@ def main() -> None:
         sys.argv = [sys.argv[0]] + argv
         fn()
         return
+    elif command == "convert-pretrained":
+        from multimodalemotionrecognition_tpu.convert.pretrained import main as fn
     elif command == "convert":
         # torch .pt checkpoint -> orbax directory (or inspect) and back.
         import argparse
