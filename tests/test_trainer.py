@@ -320,3 +320,135 @@ class TestBf16Training:
         )
         state, total, *_ = trainer._train_step(state, *args, mask, lrs)
         assert np.isfinite(float(total))
+
+
+class TestDistributedCorrectness:
+    """Sharding must change layout, not math.  Comparisons use eval-mode
+    gradients (BatchNorm running stats) so tolerances stay tight: train-mode
+    BN recomputes batch mean/var whose float accumulation ORDER differs per
+    sharding and its 1/sqrt(var+eps) amplifies that wobble through the
+    towers; a real semantic bug (e.g. per-device BN stats) would differ by
+    O(1), not O(1e-6).  Train-mode global batch stats are asserted
+    separately."""
+
+    def _grads_and_stats(self, mesh, b=8):
+        from multimodalemotionrecognition_tpu.parallel.mesh import shard_batch
+
+        cfg = _small_model_cfg("concat")
+        tc = TrainConfig(lr=1e-3, output_dir="/tmp/emo_test_out")
+        trainer = EmotionTrainer(cfg, tc, mesh=mesh)
+        state = trainer.init_state()
+        batch = _toy_batches(1, b=b, seed=7)[0]
+
+        def loss_fn(params, video, audio_wav, labels, valid):
+            audio = trainer._audio_features(audio_wav)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, aux, _ = trainer._apply(
+                variables, video, audio, False, None, mutable=False
+            )
+            total, _, _ = trainer._losses(outputs, aux, labels, valid)
+            return total
+
+        def stats_fn(params, video, audio_wav):
+            # train-mode forward purely for the BN batch-stat update
+            rngs = {
+                name: jax.random.fold_in(jax.random.PRNGKey(123), i)
+                for i, name in enumerate(
+                    ("dropout", "droppath", "specaugment", "modality", "wavlm_mask")
+                )
+            }
+            audio = trainer._audio_features(audio_wav)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            _, _, updates = trainer._apply(
+                variables, video, audio, True, rngs, mutable=True
+            )
+            return updates["batch_stats"]
+
+        with mesh:
+            sb = shard_batch(
+                mesh,
+                {
+                    "video": batch.video,
+                    "audio": batch.audio,
+                    "labels": batch.labels,
+                    "valid": batch.valid,
+                },
+            )
+            loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+                state.params, sb["video"], sb["audio"], sb["labels"], sb["valid"]
+            )
+            stats = jax.jit(stats_fn)(state.params, sb["video"], sb["audio"])
+            loss = float(loss)
+        return loss, jax.device_get(grads), jax.device_get(stats)
+
+    def test_dp8_grads_match_dp1(self):
+        from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+        assert jax.device_count() == 8
+        loss_1, grads_1, stats_1 = self._grads_and_stats(
+            make_mesh(devices=jax.devices()[:1])
+        )
+        loss_8, grads_8, stats_8 = self._grads_and_stats(make_mesh())
+        np.testing.assert_allclose(loss_8, loss_1, rtol=1e-6)
+        g1, g8 = flatten_dict(grads_1), flatten_dict(grads_8)
+        assert set(g1) == set(g8)
+        for path in g1:
+            np.testing.assert_allclose(
+                np.asarray(g8[path]),
+                np.asarray(g1[path]),
+                atol=2e-5,
+                rtol=1e-3,
+                err_msg=".".join(path),
+            )
+        # Train-mode BatchNorm must use the GLOBAL batch mean/var under DP
+        # (per-device stats at batch=1/device would differ by O(1)).
+        s1, s8 = flatten_dict(stats_1), flatten_dict(stats_8)
+        assert set(s1) == set(s8)
+        for path in s1:
+            np.testing.assert_allclose(
+                np.asarray(s8[path]),
+                np.asarray(s1[path]),
+                atol=1e-5,
+                rtol=1e-4,
+                err_msg=".".join(path),
+            )
+
+    def test_tp2_forward_matches_tp1(self):
+        """Tensor-parallel WavLM: sharding qkv/mlp kernels over the model axis
+        must reproduce the unsharded outputs."""
+        from flax.traverse_util import flatten_dict as fdict
+
+        from multimodalemotionrecognition_tpu.models.wavlm import (
+            WavLMAudioEncoder,
+            WavLMConfig,
+        )
+        from multimodalemotionrecognition_tpu.parallel.mesh import (
+            make_mesh,
+            shard_batch,
+            shard_params,
+        )
+
+        from tests.test_wavlm_parity import SMALL
+
+        model = WavLMAudioEncoder(num_classes=8, wavlm_config=WavLMConfig(**SMALL))
+        wav = np.random.RandomState(0).randn(4, 1, 8000).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+
+        def forward(params, wav):
+            return model.apply({"params": params}, wav)
+
+        outs = {}
+        for name, shape in (("tp1", (8, 1)), ("tp2", (4, 2))):
+            mesh = make_mesh(shape)
+            params = shard_params(mesh, variables["params"])
+            if name == "tp2":
+                # the TP rules must actually have sharded something
+                flat = {
+                    ".".join(map(str, k)): v for k, v in fdict(params).items()
+                }
+                qk = flat["wavlm.encoder.layers.0.attention.q_proj.kernel"]
+                assert "model" in str(qk.sharding.spec), qk.sharding
+            with mesh:
+                batch = shard_batch(mesh, wav)
+                outs[name] = np.asarray(jax.jit(forward)(params, batch))
+        np.testing.assert_allclose(outs["tp2"], outs["tp1"], atol=1e-5, rtol=1e-5)
