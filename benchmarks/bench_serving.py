@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _make_clip_bytes(tmp: Path, seconds: float = 3.0) -> bytes:
+def _make_wav_bytes(tmp: Path, seconds: float = 3.0) -> bytes:
     import wave
 
     p = tmp / "clip.wav"
@@ -38,11 +38,47 @@ def _make_clip_bytes(tmp: Path, seconds: float = 3.0) -> bytes:
     return p.read_bytes()
 
 
+def _make_clip_bytes(tmp: Path, container: str, seconds: float = 3.0) -> tuple:
+    """(filename, bytes) for one synthetic 3 s clip.
+
+    container mp4/webm: REAL audio-carrying video (480x360@30fps synthetic
+    face + tone) muxed by the native encoder — the shape of an actual browser
+    upload.  container wav: audio-only fallback (zero-frame video path)."""
+    sr = 16000
+    if container == "wav":
+        return "clip.wav", _make_wav_bytes(tmp, seconds)
+    from multimodalemotionrecognition_tpu.native import medialoader
+
+    if not medialoader.available():
+        raise RuntimeError(
+            "mp4/webm payloads need the native medialoader: "
+            "python -m multimodalemotionrecognition_tpu.native.build"
+        )
+    n, h, w = int(30 * seconds), 360, 480
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 40, (n, h, w, 3)).astype(np.uint8)
+    for i in range(n):  # moving skin-tone "face" so the detector has work
+        y0, x0 = 100 + (i % 5), 180 + (i % 5)
+        frames[i, y0 : y0 + 150, x0 : x0 + 120] = (200, 140, 110)
+    t = np.arange(int(sr * seconds)) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    path = tmp / f"clip.{container}"
+    medialoader.encode_av(str(path), frames, fps=30.0, audio=tone, sample_rate=sr)
+    return path.name, path.read_bytes()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=256)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument(
+        "--container",
+        default="mp4",
+        choices=["mp4", "webm", "wav"],
+        help="payload type; mp4/webm are real audio-carrying videos",
+    )
+    ap.add_argument("--preprocess-workers", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -95,17 +131,20 @@ def main() -> None:
 
     async def run() -> float:
         gateway = InferenceGateway(config)
-        batcher = DynamicBatcher(gateway, runner, config, preprocess_workers=8)
+        batcher = DynamicBatcher(
+            gateway, runner, config, preprocess_workers=args.preprocess_workers
+        )
         task = asyncio.create_task(batcher.run())
         with tempfile.TemporaryDirectory() as d:
-            payload = _make_clip_bytes(Path(d))
+            name, payload = _make_clip_bytes(Path(d), args.container)
+            ext = Path(name).suffix
             # Warm one clip through (first host decode paths).
-            tid = await gateway.submit("warm.wav", payload)
+            tid = await gateway.submit(f"warm{ext}", payload)
             await gateway.wait_for_result(tid, timeout_sec=120)
 
             t0 = time.perf_counter()
             ids = await gateway.submit_many(
-                [(f"clip{i}.wav", payload) for i in range(args.clips)]
+                [(f"clip{i}{ext}", payload) for i in range(args.clips)]
             )
             await asyncio.gather(
                 *(gateway.wait_for_result(i, timeout_sec=600) for i in ids)
@@ -121,7 +160,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"serving_e2e_throughput_b{args.batch_size}",
+                "metric": f"serving_e2e_throughput_b{args.batch_size}_{args.container}",
                 "value": round(clips_per_min, 1),
                 "unit": "3s_clips_per_min",
                 "vs_baseline": round(clips_per_min / 60.0, 2),

@@ -33,6 +33,7 @@ __all__ = [
     "HeuristicFaceDetector",
     "BlazeFaceDetector",
     "crop_with_padding",
+    "padded_crop_rect",
     "get_face_detector",
     "set_face_detector",
 ]
@@ -44,12 +45,13 @@ class FaceDetector(Protocol):
     def detect_face_bbox(self, image_rgb: np.ndarray) -> Optional[Bbox]: ...
 
 
-def crop_with_padding(
-    image: np.ndarray, bbox: Bbox, pad_ratio: float = 0.3
-) -> np.ndarray:
-    """Crop bbox with symmetric padding, clipped to the image
-    (reference `src/utils/face_crop.py:151-184`)."""
-    h, w = image.shape[:2]
+def padded_crop_rect(
+    image_hw: Tuple[int, int], bbox: Bbox, pad_ratio: float = 0.3
+) -> Optional[Tuple[int, int, int, int]]:
+    """(x, y, w, h) of the padded crop, clipped to the image — the rect form
+    of `crop_with_padding` for decoders that crop natively (the C++ libav
+    path).  None when the rect degenerates (caller keeps the full frame)."""
+    h, w = image_hw
     x, y, bw, bh = bbox
     pad_x = int(bw * pad_ratio)
     pad_y = int(bh * pad_ratio)
@@ -58,8 +60,20 @@ def crop_with_padding(
     x1 = min(w, x + bw + pad_x)
     y1 = min(h, y + bh + pad_y)
     if x1 <= x0 or y1 <= y0:
+        return None
+    return (x0, y0, x1 - x0, y1 - y0)
+
+
+def crop_with_padding(
+    image: np.ndarray, bbox: Bbox, pad_ratio: float = 0.3
+) -> np.ndarray:
+    """Crop bbox with symmetric padding, clipped to the image
+    (reference `src/utils/face_crop.py:151-184`)."""
+    rect = padded_crop_rect(image.shape[:2], bbox, pad_ratio)
+    if rect is None:
         return image
-    return image[y0:y1, x0:x1]
+    x0, y0, rw, rh = rect
+    return image[y0 : y0 + rh, x0 : x0 + rw]
 
 
 class HeuristicFaceDetector:

@@ -31,6 +31,7 @@ from multimodalemotionrecognition_tpu.config import IMAGENET_MEAN, IMAGENET_STD
 from multimodalemotionrecognition_tpu.data.face import (
     crop_with_padding,
     get_face_detector,
+    padded_crop_rect,
 )
 from multimodalemotionrecognition_tpu.ops.image import uniform_frame_indices
 
@@ -253,6 +254,59 @@ def augment_video_frames(
     return out
 
 
+def _native_decode_enabled() -> bool:
+    import os
+
+    if os.environ.get("EMO_NATIVE_DECODE", "1") != "1":
+        return False
+    from multimodalemotionrecognition_tpu.native import medialoader
+
+    return medialoader.available()
+
+
+def _load_video_frames_native(
+    video_path: Path | str,
+    num_frames: int,
+    size: int,
+    use_face_crop: bool,
+    bbox,
+) -> Optional[np.ndarray]:
+    """C++ libav decode path -> uint8 [T, size, size, 3] RGB, or None when the
+    container can't be handled natively (caller falls back to cv2).
+
+    Same semantics as the cv2 path: uniform sampling, bbox detected on the
+    FIRST sampled frame at native resolution and reused, 30%-padded crop
+    applied BEFORE the resize (the crop happens inside the decoder)."""
+    from multimodalemotionrecognition_tpu.native import medialoader
+
+    path = str(video_path)
+    try:
+        info = medialoader.probe_video(path)
+    except RuntimeError:
+        return None
+    total = int(info["frames"])
+    if total <= 0 or info["width"] <= 0 or info["height"] <= 0:
+        return None
+    indices = [int(i) for i in uniform_frame_indices(total, num_frames)]
+    rect = None
+    try:
+        if use_face_crop:
+            if bbox is None:
+                first = medialoader.decode_video_frames(
+                    path, indices[:1], info["width"], info["height"]
+                )[0]
+                detector = get_face_detector()
+                if detector is not None:
+                    bbox = detector.detect_face_bbox(first)
+            if bbox is not None:
+                rect = padded_crop_rect(
+                    (info["height"], info["width"]), bbox, pad_ratio=0.3
+                )
+        return medialoader.decode_video_frames(path, indices, size, size, crop=rect)
+    except RuntimeError:
+        return None
+
+
 def load_video_frames(
     video_path: Path | str,
     num_frames: int = 8,
@@ -269,7 +323,25 @@ def load_video_frames(
     Face bbox is detected on the FIRST sampled frame only and reused
     (`:314-348`); pass `bbox` explicitly to inject reference crops for parity
     runs.  Failures fall back to the full frame silently.
+
+    Decode runs through the in-process C++ libav loader when built
+    (EMO_NATIVE_DECODE=0 forces the cv2 path); semantics are identical, the
+    resize filter differs by <2/255 per pixel (bilinear swscale vs cv2).
     """
+    if _native_decode_enabled():
+        native = _load_video_frames_native(
+            video_path, num_frames, size, use_face_crop, bbox
+        )
+        if native is not None:
+            arr = native.astype(np.float32) / 255.0  # [T,H,W,3]
+            if augment:
+                arr = augment_video_frames(arr, rng=rng)
+            if normalize:
+                mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
+                std = np.asarray(IMAGENET_STD, dtype=np.float32)
+                arr = (arr - mean) / std
+            return arr.transpose(0, 3, 1, 2)
+
     import cv2
 
     cap = cv2.VideoCapture(str(video_path))
