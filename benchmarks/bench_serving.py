@@ -81,7 +81,17 @@ def main() -> None:
     ap.add_argument("--preprocess-workers", type=int, default=8)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Persistent compilation cache: tunnel compiles of the flagship take
+    # minutes; cached reloads take seconds (same setup as bench.py).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from multimodalemotionrecognition_tpu.config import ModelConfig, ServeConfig
     from multimodalemotionrecognition_tpu.serving.batcher import (

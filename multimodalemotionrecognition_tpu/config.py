@@ -76,6 +76,11 @@ class ModelConfig:
     common_dim: int = 256
     audio_embedding_dim: int = 128
     wavlm_hidden_size: int = 768
+    # Optional WavLMConfig field overrides (hidden_size, num_hidden_layers,
+    # conv_dim, ...).  None = microsoft/wavlm-base geometry (the reference's,
+    # `src/models/wavlm_audio.py:30-41`).  Saved additively in the checkpoint
+    # config so non-base WavLM checkpoints reconstruct without flags.
+    wavlm_geometry: Optional[Dict[str, Any]] = None
     spec_augment: bool = True
     # Compute dtype for the forward pass ("float32" | "bfloat16"). Params stay fp32.
     compute_dtype: str = "float32"
@@ -108,7 +113,10 @@ class ModelConfig:
 
     def to_checkpoint_dict(self) -> Dict[str, Any]:
         """Serialize to the reference's checkpoint `config` dict format."""
-        return {k: getattr(self, k) for k in self._CHECKPOINT_KEYS}
+        out = {k: getattr(self, k) for k in self._CHECKPOINT_KEYS}
+        if self.wavlm_geometry is not None:  # additive, absent in reference
+            out["wavlm_geometry"] = dict(self.wavlm_geometry)
+        return out
 
     @classmethod
     def from_checkpoint_dict(
@@ -138,7 +146,11 @@ class ModelConfig:
     @property
     def effective_audio_n_mels(self) -> int:
         """WavLM replaces n_mels with its hidden size (src/train.py:462)."""
-        return self.wavlm_hidden_size if self.use_wavlm else self.audio_n_mels
+        if self.use_wavlm:
+            return int(
+                (self.wavlm_geometry or {}).get("hidden_size", self.wavlm_hidden_size)
+            )
+        return self.audio_n_mels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,6 +271,8 @@ class ServeConfig:
     fused_xattn: bool = False
     # uint8 video wire format with on-device normalization.
     device_normalize: bool = True
+    # int16 PCM audio wire format for WavLM (lossless for 16-bit uploads).
+    audio_int16_wire: bool = True
     # XLA static-shape batch buckets for the dynamic batcher.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     # Streaming (backend/app/config.py:16-19)
@@ -286,4 +300,5 @@ class ServeConfig:
             compute_dtype=_env("EMO_COMPUTE_DTYPE", "float32"),
             fused_xattn=_env("EMO_FUSED_XATTN", "0") == "1",
             device_normalize=_env("EMO_DEVICE_NORMALIZE", "1") == "1",
+            audio_int16_wire=_env("EMO_AUDIO_INT16_WIRE", "1") == "1",
         )

@@ -48,10 +48,18 @@ def _dtype_of(config: ModelConfig) -> Optional[jnp.dtype]:
 def build_audio_encoder(config: ModelConfig) -> nn.Module:
     dtype = _dtype_of(config)
     if config.use_wavlm:
-        from multimodalemotionrecognition_tpu.models.wavlm import WavLMAudioEncoder
+        from multimodalemotionrecognition_tpu.models.wavlm import (
+            WavLMAudioEncoder,
+            WavLMConfig,
+        )
 
+        geometry = config.wavlm_geometry or {}
+        wavlm_config = WavLMConfig(**geometry) if geometry else WavLMConfig()
         return WavLMAudioEncoder(
             num_classes=config.num_classes,
+            # reference classifier MLP is hidden -> hidden (wavlm_audio.py:50)
+            embedding_dim=wavlm_config.hidden_size,
+            wavlm_config=wavlm_config,
             temporal_pooling=config.temporal_pooling,
             temporal_num_heads=config.temporal_num_heads,
             temporal_num_layers=config.temporal_num_layers,

@@ -1,104 +1,90 @@
 """Fused inference forward for xattn checkpoints.
 
 Builds a single jitted callable: encoder towers through the Flax graph, then
-the whole fusion block (projections -> bidirectional cross-attention (+
-emotion-prior bias) -> residual/LN -> mean pools -> head) through the Pallas
-kernel + plain matmuls on extracted parameters.  Used by JaxModelRunner when
-`fused=True` and the checkpoint is an xattn model with mean temporal pooling.
+the ENTIRE fusion block — input projections, bidirectional cross-attention
+(+ in-kernel emotion-prior bias), residual/LN, temporal pooling (mean or
+attn), and the concat/gated head — through ONE Pallas kernel
+(ops/pallas_fused_block.py).  Used by JaxModelRunner when `fused=True` and
+the checkpoint is an xattn model.  int8-quantized runners keep their weights
+int8; dequantization happens inside the kernel.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from multimodalemotionrecognition_tpu.config import ModelConfig
-from multimodalemotionrecognition_tpu.ops.pallas_xattn import (
-    fused_bidirectional_xattn,
-    xattn_params_from_variables,
+from multimodalemotionrecognition_tpu.ops.pallas_fused_block import (
+    FusedBlockSpec,
+    build_fused_block_fn,
+    extract_block_params,
 )
 
 __all__ = ["supports_fused", "build_fused_xattn_forward"]
 
 
 def supports_fused(model_config: ModelConfig) -> bool:
+    # Both audio branches expose encode_sequence, so the block always starts
+    # at audio_seq_proj; only the transformer temporal pooler stays modular.
     return (
         model_config.canonical_fusion == "xattn"
-        and model_config.temporal_pooling == "mean"
+        and model_config.temporal_pooling in ("mean", "attn")
     )
 
 
-def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p["kernel"] + p["bias"]
-
-
 def build_fused_xattn_forward(
-    model, variables_unused, model_config: ModelConfig, interpret: bool = False
+    model,
+    variables_unused,
+    model_config: ModelConfig,
+    interpret: bool = False,
+    dequant_scales: Optional[Dict[Tuple[str, ...], Any]] = None,
+    dequant_fn: Optional[Callable[[Any], Any]] = None,
 ) -> Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """-> forward(variables, video, audio) -> probabilities [B, C].
 
     Variables are a runtime argument (NOT a closure capture) so compiled HLO
-    stays parameter-free — see runner._forward for why.
+    stays parameter-free — see runner._forward for why.  `dequant_scales`
+    (from JaxModelRunner._quantize_dense_int8) marks which matrices arrive
+    int8; they are dequantized inside the kernel.  The encoder towers run
+    through the Flax graph, which needs float weights — `dequant_fn`
+    (runner._dequantize) restores them at trace time; the block's unused
+    dequantized copies are dead-code-eliminated.
     """
     del variables_unused
-    head = model_config.resolved_xattn_head
-    num_heads = model_config.xattn_heads
-    use_prior = model_config.xattn_use_emotion_prior
+    spec = FusedBlockSpec(
+        num_heads=model_config.xattn_heads,
+        d_model=model_config.xattn_d_model,
+        pooling=model_config.temporal_pooling,
+        head=model_config.resolved_xattn_head,
+        use_prior=model_config.xattn_use_emotion_prior,
+        num_classes=model_config.num_classes,
+    )
+    dequant_scales = dequant_scales or {}
+    block_fn_cache: Dict[Any, Callable] = {}
 
     def forward(variables, video: jnp.ndarray, audio: jnp.ndarray) -> jnp.ndarray:
-        params = variables["params"]
-        xp = xattn_params_from_variables(params)
+        args, layout = extract_block_params(variables["params"], spec, dequant_scales)
+        block_fn = block_fn_cache.get(layout)
+        if block_fn is None:
+            block_fn = build_fused_block_fn(spec, layout, interpret=interpret)
+            block_fn_cache[layout] = block_fn
+        tower_vars = dequant_fn(variables) if dequant_fn is not None else variables
         v_feat = model.apply(
-            variables,
+            tower_vars,
             video,
             train=False,
             method=lambda m, x, train: m.video_model.encode_frames(x, train=train),
         )
         a_seq = model.apply(
-            variables,
+            tower_vars,
             audio,
             train=False,
             method=lambda m, x, train: m.audio_model.encode_sequence(x, train=train),
         )
-        v = _dense(params["v_in_proj"], v_feat)
-        a = _dense(params["a_in_proj"], _dense(params["audio_seq_proj"], a_seq))
-
-        v2a_bias = a2v_bias = None
-        if use_prior:
-            ep = params["emotion_prior_bias"]
-            prior_h = jax.nn.relu(
-                _dense(ep["prior_net.0"], jnp.concatenate([v.mean(1), a.mean(1)], -1))
-            )
-            prior = _dense(ep["prior_net.3"], prior_h)
-            scale = ep["bias_scale"]
-
-            def token_bias(q, k, qp, kp):
-                qprior = jnp.broadcast_to(prior[:, None, :], q.shape[:2] + prior.shape[-1:])
-                kprior = jnp.broadcast_to(prior[:, None, :], k.shape[:2] + prior.shape[-1:])
-                qs = _dense(qp, jnp.concatenate([q, qprior], -1))[..., 0]
-                ks = _dense(kp, jnp.concatenate([k, kprior], -1))[..., 0]
-                return jnp.tanh(qs[..., :, None] + ks[..., None, :]) * scale
-
-            v2a_bias = token_bias(v, a, ep["v_query_bias"], ep["a_key_bias"])
-            a2v_bias = token_bias(a, v, ep["a_query_bias"], ep["v_key_bias"])
-
-        v_emb, a_emb = fused_bidirectional_xattn(
-            xp, v, a, v2a_bias, a2v_bias, num_heads=num_heads, interpret=interpret
-        )
-
-        if head == "concat":
-            fused = jnp.concatenate([v_emb, a_emb], axis=1)
-            h = jax.nn.relu(_dense(params["xattn_mlp.0"], fused))
-            logits = _dense(params["xattn_mlp.3"], h)
-        else:
-            g_in = jnp.concatenate([v_emb, a_emb], axis=1)
-            g = jax.nn.sigmoid(
-                _dense(params["xattn_gate.3"], jax.nn.relu(_dense(params["xattn_gate.0"], g_in)))
-            )
-            fused = g * v_emb + (1.0 - g) * a_emb
-            logits = _dense(params["xattn_classifier"], fused)
+        logits = block_fn(v_feat, a_seq, *args)
         return jax.nn.softmax(logits, axis=1)
 
     return forward

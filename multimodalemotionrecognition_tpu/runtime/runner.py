@@ -119,13 +119,8 @@ class JaxModelRunner:
         # One jit wrapper; XLA's own shape cache keys the per-bucket
         # executables (a per-bucket dict of jax.jit objects would be redundant).
         self._jitted_forward = jax.jit(self._forward)
+        self._blank_video_forward = None
         self._fused_forward = None
-        if fused and quantize_int8:
-            print(
-                "[WARNING] fused=True is not yet supported together with "
-                "quantize_int8; using the modular path."
-            )
-            fused = False
         if fused:
             from multimodalemotionrecognition_tpu.runtime.fused import (
                 build_fused_xattn_forward,
@@ -134,15 +129,21 @@ class JaxModelRunner:
 
             if supports_fused(self.model_config):
                 # Pallas compiles on TPU backends; anywhere else (CPU tests)
-                # fall back to the interpreter.
+                # fall back to the interpreter.  int8 weights stay int8 —
+                # dequantization happens inside the kernel.
                 interpret = jax.default_backend() not in ("tpu", "axon")
                 self._fused_forward = build_fused_xattn_forward(
-                    self.model, self.variables, self.model_config, interpret=interpret
+                    self.model,
+                    self.variables,
+                    self.model_config,
+                    interpret=interpret,
+                    dequant_scales=self._dequant_scales,
+                    dequant_fn=self._dequantize,
                 )
             else:
                 print(
-                    "[WARNING] fused=True but checkpoint is not a mean-pooled "
-                    "xattn model; using the modular path."
+                    "[WARNING] fused=True but checkpoint is not an xattn "
+                    "model with mean/attn pooling; using the modular path."
                 )
 
     # ------------------------------------------------------------------
@@ -211,6 +212,10 @@ class JaxModelRunner:
         return unflatten_dict(out)
 
     def _forward(self, variables, video, audio):
+        if audio.dtype == jnp.int16:
+            # int16 PCM wire format (lossless for 16-bit uploads): half the
+            # host->device audio bytes, dequantized on-device.
+            audio = audio.astype(jnp.float32) / 32768.0
         if video.dtype == jnp.uint8:
             from multimodalemotionrecognition_tpu.config import (
                 IMAGENET_MEAN,
@@ -243,11 +248,15 @@ class JaxModelRunner:
     # ------------------------------------------------------------------
 
     def predict_probs(self, videos: np.ndarray, audios: np.ndarray) -> np.ndarray:
-        """[B,...] inputs -> [B, num_classes] probabilities (host numpy)."""
+        """[B,...] inputs -> [B, num_classes] probabilities (host numpy).
+
+        Audio may arrive as int16 PCM (dequantized on-device)."""
         videos = np.asarray(videos)
         if not (self.device_normalize and videos.dtype == np.uint8):
             videos = videos.astype(np.float32)
-        audios = np.asarray(audios, dtype=np.float32)
+        audios = np.asarray(audios)
+        if audios.dtype != np.int16:
+            audios = audios.astype(np.float32)
         n = videos.shape[0] if self.fusion_mode != "audio" else audios.shape[0]
         bucket = _bucket_for(n, self.batch_buckets)
         if n != bucket:
@@ -255,11 +264,46 @@ class JaxModelRunner:
                 [videos, np.zeros((bucket - n,) + videos.shape[1:], videos.dtype)]
             )
             audios = np.concatenate(
-                [audios, np.zeros((bucket - n,) + audios.shape[1:], np.float32)]
+                [audios, np.zeros((bucket - n,) + audios.shape[1:], audios.dtype)]
             )
         probs = self._jitted_forward(
             self.variables, jnp.asarray(videos), jnp.asarray(audios)
         )
+        return np.asarray(probs)[:n]
+
+    def predict_probs_blank_video(self, audios: np.ndarray) -> np.ndarray:
+        """Audio-only batches (e.g. bare .wav uploads): the all-zeros video
+        tensor is materialized ON DEVICE instead of shipping ~300 KB/clip of
+        zeros through the host->device link."""
+        audios = np.asarray(audios)
+        if audios.dtype != np.int16:
+            audios = audios.astype(np.float32)
+        n = audios.shape[0]
+        bucket = _bucket_for(n, self.batch_buckets)
+        if n != bucket:
+            audios = np.concatenate(
+                [audios, np.zeros((bucket - n,) + audios.shape[1:], audios.dtype)]
+            )
+        if self._blank_video_forward is None:
+            video_dtype = jnp.uint8 if self.device_normalize else jnp.float32
+
+            def forward_blank(variables, audio):
+                video = jnp.zeros(
+                    (audio.shape[0], 8, 3, 112, 112), video_dtype
+                )
+                if video_dtype == jnp.float32:
+                    from multimodalemotionrecognition_tpu.config import (
+                        IMAGENET_MEAN,
+                        IMAGENET_STD,
+                    )
+
+                    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
+                    std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
+                    video = jnp.broadcast_to(-mean / std, video.shape)
+                return self._forward(variables, video, audio)
+
+            self._blank_video_forward = jax.jit(forward_blank)
+        probs = self._blank_video_forward(self.variables, jnp.asarray(audios))
         return np.asarray(probs)[:n]
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:

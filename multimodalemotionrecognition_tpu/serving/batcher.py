@@ -240,28 +240,20 @@ class DynamicBatcher:
         return task_ids
 
     def _preprocess_item(self, item: Dict[str, Any]) -> Dict[str, Any]:
-        import tempfile
-        from pathlib import Path
-
-        suffix = Path(item["filename"]).suffix or ".mp4"
-        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
-            tmp.write(item["payload"])
-            media_path = Path(tmp.name)
-        try:
-            video, audio = self.preprocess.preprocess_video_audio(
-                media_path,
-                use_face_crop=True,
-                use_wavlm=bool(getattr(self.runner, "use_wavlm", False)),
-                raw_uint8=bool(getattr(self.runner, "device_normalize", False)),
-            )
-            return {
-                "task_id": item["task_id"],
-                "submitted_at": item["submitted_at"],
-                "video": video[0],
-                "audio": audio[0],
-            }
-        finally:
-            media_path.unlink(missing_ok=True)
+        video, audio, blank_video = self.preprocess.preprocess_payload(
+            item["filename"],
+            item["payload"],
+            use_face_crop=True,
+            use_wavlm=bool(getattr(self.runner, "use_wavlm", False)),
+            raw_uint8=bool(getattr(self.runner, "device_normalize", False)),
+        )
+        return {
+            "task_id": item["task_id"],
+            "submitted_at": item["submitted_at"],
+            "video": video[0],
+            "audio": audio[0],
+            "blank_video": blank_video,
+        }
 
     async def _prepare_batch(self, task_ids: List[str]):
         """Stage 1: fetch payloads + thread-pool preprocessing.
@@ -290,8 +282,26 @@ class DynamicBatcher:
                 prepared = await asyncio.gather(
                     *(loop.run_in_executor(self.pool, self._preprocess_item, i) for i in infos)
                 )
-                videos = np.stack([p["video"] for p in prepared])
+                # Wire-format optimizations (both preserve exact values):
+                #  * all-blank video batches (audio-only uploads) ship no
+                #    video tensor at all — the runner materializes zeros
+                #    on-device instead of transferring ~300 KB/clip of zeros;
+                #  * WavLM waveforms travel as int16 PCM (the uploads ARE
+                #    16-bit PCM, so /32768 on-device is lossless) — half the
+                #    audio bytes through the host->device link.
+                if all(p.get("blank_video") for p in prepared) and hasattr(
+                    self.runner, "predict_probs_blank_video"
+                ):
+                    videos = None
+                else:
+                    videos = np.stack([p["video"] for p in prepared])
                 audios = np.stack([p["audio"] for p in prepared])
+                if (
+                    getattr(self.runner, "use_wavlm", False)
+                    and self.config.audio_int16_wire
+                    and audios.dtype == np.float32
+                ):
+                    audios = np.clip(audios * 32768.0, -32768, 32767).astype(np.int16)
         except Exception as exc:
             for item in infos:
                 self._mark_failed(item["task_id"], str(exc))
@@ -303,9 +313,14 @@ class DynamicBatcher:
         loop = asyncio.get_running_loop()
         try:
             with self.timer.stage("infer"):
-                probs = await loop.run_in_executor(
-                    None, self.runner.predict_probs, videos, audios
-                )
+                if videos is None:
+                    probs = await loop.run_in_executor(
+                        None, self.runner.predict_probs_blank_video, audios
+                    )
+                else:
+                    probs = await loop.run_in_executor(
+                        None, self.runner.predict_probs, videos, audios
+                    )
             self.timer.record("batch_size", float(len(infos)))
             labels = list(self.runner.labels)
             for row, item in zip(probs, prepared):

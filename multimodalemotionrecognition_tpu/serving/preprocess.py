@@ -177,6 +177,63 @@ class EmotionPreprocessService:
         audio = wav if use_wavlm else self._mel(wav)
         return video.astype(np.float32), audio[None].astype(np.float32)
 
+    def preprocess_payload(
+        self,
+        filename: str,
+        payload: bytes,
+        use_face_crop: bool = True,
+        use_wavlm: bool = False,
+        raw_uint8: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, bool]:
+        """Uploaded bytes -> (video [1,T,3,H,W], audio, blank_video).
+
+        Audio-only .wav uploads take a zero-copy in-memory path: no temp
+        file, no container probing — RIFF decode + resample + head-crop/pad,
+        video all-zeros with blank_video=True so the batcher can skip
+        shipping 300 KB of zero frames per clip over the wire.  Containers
+        go through the temp-file + libav path."""
+        from pathlib import Path as _Path
+
+        suffix = _Path(filename).suffix.lower()
+        if suffix == ".wav":
+            from multimodalemotionrecognition_tpu.data.media import decode_wav_bytes
+
+            wav, sr = decode_wav_bytes(payload)
+            if sr != self.audio.sample_rate:
+                wav = resample_waveform(wav, sr, self.audio.sample_rate)
+            target = self.audio.target_len
+            if wav.size < target:  # head-crop/zero-pad (training convention)
+                wav = np.pad(wav, (0, target - wav.size))
+            else:
+                wav = wav[:target]
+            wav = wav[None, :].astype(np.float32)
+            audio = wav if use_wavlm else self._mel(wav)
+            t, s = self.video.num_frames, self.video.size
+            dtype = np.uint8 if raw_uint8 else np.float32
+            video = np.zeros((1, t, 3, s, s), dtype=dtype)
+            if not raw_uint8:
+                # normalized zeros are (0 - mean) / std, not 0.0
+                mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 1, 3, 1, 1)
+                std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 1, 3, 1, 1)
+                video = np.broadcast_to(-mean / std, video.shape).astype(np.float32)
+            return video, audio[None].astype(np.float32), True
+
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=suffix or ".mp4", delete=False) as tmp:
+            tmp.write(payload)
+            media_path = _Path(tmp.name)
+        try:
+            video, audio = self.preprocess_video_audio(
+                media_path,
+                use_face_crop=use_face_crop,
+                use_wavlm=use_wavlm,
+                raw_uint8=raw_uint8,
+            )
+            return video, audio, False
+        finally:
+            media_path.unlink(missing_ok=True)
+
     def preprocess_stream_window(
         self,
         frames: Sequence[np.ndarray],

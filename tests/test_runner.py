@@ -145,3 +145,134 @@ def test_runner_device_normalize_uint8(xattn_checkpoint):
     p_host = host.predict_probs(video_f32, audio)
     p_dev = dev.predict_probs(video_u8, audio)
     np.testing.assert_allclose(p_dev, p_host, atol=1e-4, rtol=1e-4)
+
+
+def test_runner_fused_int8_matches_modular_int8(xattn_checkpoint):
+    """fused + int8 no longer falls back (round-1 limitation): dequantization
+    happens INSIDE the Pallas kernel and matches the modular int8 path."""
+    path, *_ = xattn_checkpoint
+    modular = JaxModelRunner(path, quantize_int8=True)
+    fused = JaxModelRunner(path, quantize_int8=True, fused=True)
+    assert fused._fused_forward is not None
+    rng = np.random.RandomState(5)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(2, 1, 64, 301).astype(np.float32)
+    pm = modular.predict_probs(video, audio)
+    pf = fused.predict_probs(video, audio)
+    np.testing.assert_allclose(pf, pm, atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {"temporal_pooling": "attn"},
+        {"xattn_use_emotion_prior": True},
+        {"xattn_head": "gated"},
+        {"temporal_pooling": "attn", "xattn_use_emotion_prior": True,
+         "xattn_head": "gated"},
+    ],
+    ids=["attn-pool", "emotion-prior", "gated-head", "all"],
+)
+def test_runner_fused_variants_match_modular(tmp_path, extra):
+    """The full-block kernel absorbs attn pooling, the emotion-prior bias,
+    and the gated head — each must match the modular graph."""
+    cfg = ModelConfig(
+        fusion="xattn",
+        num_classes=8,
+        spec_augment=False,
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+        **extra,
+    )
+    model = build_model(cfg)
+    video = jnp.zeros((1, 4, 3, 64, 64), jnp.float32)
+    audio = jnp.zeros((1, 1, 64, 101), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), video, audio)
+    path = tmp_path / "variant.pt"
+    save_torch_checkpoint(path, variables, config=cfg.to_checkpoint_dict())
+
+    modular = JaxModelRunner(str(path))
+    fused = JaxModelRunner(str(path), fused=True)
+    assert fused._fused_forward is not None, extra
+    rng = np.random.RandomState(7)
+    v = rng.randn(2, 4, 3, 64, 64).astype(np.float32)
+    a = rng.randn(2, 1, 64, 101).astype(np.float32)
+    pm = modular.predict_probs(v, a)
+    pf = fused.predict_probs(v, a)
+    np.testing.assert_allclose(pf, pm, atol=5e-5, rtol=5e-5)
+
+
+@pytest.fixture(scope="module")
+def wavlm_checkpoint(tmp_path_factory):
+    """Small-geometry WavLM xattn checkpoint for wire-format tests."""
+    from multimodalemotionrecognition_tpu.models.fusion import FusionModel
+    from multimodalemotionrecognition_tpu.models.video import VideoNet
+    from multimodalemotionrecognition_tpu.models.wavlm import (
+        WavLMAudioEncoder,
+        WavLMConfig,
+    )
+
+    from tests.test_wavlm_parity import SMALL
+
+    model = FusionModel(
+        audio_model=WavLMAudioEncoder(
+            num_classes=8, embedding_dim=32, wavlm_config=WavLMConfig(**SMALL)
+        ),
+        video_model=VideoNet(num_classes=8),
+        num_classes=8,
+        mode="xattn",
+        d_model=32,
+        num_heads=4,
+        xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+    )
+    video = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
+    audio = jnp.zeros((1, 1, 48000), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), video, audio)
+    cfg = ModelConfig(
+        fusion="xattn", num_classes=8, use_wavlm=True, spec_augment=False,
+        xattn_d_model=32, xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0,
+        wavlm_geometry=dict(SMALL),
+    )
+    path = tmp_path_factory.mktemp("wire") / "best_xattn_wavlm.pt"
+    save_torch_checkpoint(path, variables, config=cfg.to_checkpoint_dict())
+    return str(path)
+
+
+def test_runner_int16_audio_wire_matches_float(wavlm_checkpoint):
+    """int16 PCM audio wire == float audio for PCM-derived waveforms."""
+    runner = JaxModelRunner(wavlm_checkpoint)
+    rng = np.random.RandomState(11)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    pcm = rng.randint(-32768, 32767, (2, 1, 48000)).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+    p_float = runner.predict_probs(video, wav)
+    p_int16 = runner.predict_probs(video, pcm)
+    np.testing.assert_allclose(p_int16, p_float, atol=1e-6)
+
+
+def test_runner_blank_video_matches_zero_tensor(wavlm_checkpoint):
+    """predict_probs_blank_video == predict_probs with explicit zero frames
+    for both wire formats (uint8 device-normalize and pre-normalized float)."""
+    rng = np.random.RandomState(12)
+    wav = (rng.randn(3, 1, 48000) * 0.1).astype(np.float32)
+    for device_normalize in (True, False):
+        runner = JaxModelRunner(
+            wavlm_checkpoint, device_normalize=device_normalize
+        )
+        if device_normalize:
+            videos = np.zeros((3, 8, 3, 112, 112), np.uint8)
+        else:
+            from multimodalemotionrecognition_tpu.config import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 1, 3, 1, 1)
+            std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 1, 3, 1, 1)
+            videos = np.broadcast_to(
+                -mean / std, (3, 8, 3, 112, 112)
+            ).astype(np.float32)
+        p_explicit = runner.predict_probs(videos, wav)
+        p_blank = runner.predict_probs_blank_video(wav)
+        np.testing.assert_allclose(p_blank, p_explicit, atol=1e-6)
