@@ -139,38 +139,79 @@ class HeuristicFaceDetector:
 
 
 class BlazeFaceDetector:
-    """Anchor-based learned detector hook.
+    """Learned BlazeFace detector (the reference's MediaPipe
+    `FaceDetection(min_detection_confidence=0.5)`, `src/utils/face_crop.py:85-90`).
 
-    Runs a BlazeFace-class single-shot detector as a jitted JAX function when
-    an `.npz` weights file is supplied (deployment-time asset; this image has
-    no egress to fetch pretrained weights).  Without weights, behaves as a
-    disabled detector (returns None -> full-frame fallback)."""
+    Runs the JAX-native short-range BlazeFace (`models/blazeface.py`) when an
+    `.npz` weights file — produced by `convert/blazeface_export.py` from the
+    public PyTorch port of the official tflite weights — is supplied at deploy
+    time (this image has no egress to fetch them).  Without weights, behaves
+    as a disabled detector (returns None -> full-frame fallback), matching the
+    reference's silent MediaPipe-failure fallback."""
 
-    def __init__(self, weights_path: Optional[str | Path] = None):
+    def __init__(
+        self,
+        weights_path: Optional[str | Path] = None,
+        min_score: float = 0.5,
+        iou_threshold: float = 0.3,
+    ):
         self._fn = None
+        self._anchors = None
+        self.min_score = min_score
+        self.iou_threshold = iou_threshold
         if weights_path and Path(weights_path).exists():
             self._load(Path(weights_path))
 
-    def _load(self, path: Path) -> None:  # pragma: no cover - deploy-time asset
+    def _load(self, path: Path) -> None:
         import jax
-        import jax.numpy as jnp
 
-        data = dict(np.load(path))
-        params = {k: jnp.asarray(v) for k, v in data.items()}
+        from multimodalemotionrecognition_tpu.models import blazeface as bf
 
-        def detect(img):
-            raise NotImplementedError(
-                "BlazeFace weights present but head layout unsupported; "
-                "provide {conv*/...} arrays exported by tools/export_blazeface.py"
-            )
+        params = bf.load_params(dict(np.load(path)))
+        self._anchors = bf.generate_anchors()
 
-        self._fn = jax.jit(detect)
+        def run(img):
+            raw_boxes, scores = bf.blazeface_forward(params, img)
+            return raw_boxes[0], scores[0]
+
+        self._fn = jax.jit(run)
 
     def detect_face_bbox(self, image_rgb: np.ndarray) -> Optional[Bbox]:
         if self._fn is None:
             return None
-        out = self._fn(image_rgb)  # pragma: no cover
-        return tuple(int(v) for v in out) if out is not None else None
+        from multimodalemotionrecognition_tpu.models import blazeface as bf
+
+        if image_rgb.ndim != 3 or image_rgb.shape[-1] != 3:
+            return None
+        h, w = image_rgb.shape[:2]
+        img = image_rgb
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 if img.max() <= 1.5 else img, 0, 255).astype(
+                np.uint8
+            )
+        import cv2
+
+        size = bf.BLAZEFACE_INPUT_SIZE
+        resized = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        x = resized.astype(np.float32) / 127.5 - 1.0
+        raw_boxes, scores = self._fn(x[None])
+        boxes = bf.decode_boxes_np(np.asarray(raw_boxes), self._anchors)
+        best = bf.weighted_nms_np(
+            boxes, np.asarray(scores), self.min_score, self.iou_threshold
+        )
+        if best is None:
+            return None
+        (y0, x0, y1, x1), _score = best
+        # Normalized [0,1] -> pixel coords of the ORIGINAL frame (plain
+        # resize, so x and y scale independently), clipped like the
+        # reference's legacy branch (`face_crop.py:131-136`).
+        px0 = max(0, int(round(x0 * w)))
+        py0 = max(0, int(round(y0 * h)))
+        px1 = min(w, int(round(x1 * w)))
+        py1 = min(h, int(round(y1 * h)))
+        if px1 - px0 < 2 or py1 - py0 < 2:
+            return None
+        return (px0, py0, px1 - px0, py1 - py0)
 
 
 _detector_lock = threading.Lock()
@@ -180,11 +221,20 @@ _detector_initialized = False
 
 def get_face_detector() -> Optional[FaceDetector]:
     """Process-wide detector singleton (reference `src/utils/face_crop.py:187-200`
-    has the same benign-race singleton; here it is lock-guarded)."""
+    has the same benign-race singleton; here it is lock-guarded).
+
+    `EMO_BLAZEFACE_WEIGHTS=<path.npz>` selects the learned detector at deploy
+    time; otherwise the dependency-free heuristic is used."""
     global _detector, _detector_initialized
     with _detector_lock:
         if not _detector_initialized:
-            _detector = HeuristicFaceDetector()
+            import os
+
+            weights = os.environ.get("EMO_BLAZEFACE_WEIGHTS", "")
+            if weights and Path(weights).exists():
+                _detector = BlazeFaceDetector(weights)
+            else:
+                _detector = HeuristicFaceDetector()
             _detector_initialized = True
         return _detector
 
