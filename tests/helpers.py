@@ -32,6 +32,23 @@ def convert(torch_model: torch.nn.Module, flax_model, *example_inputs, **init_kw
     return variables, report
 
 
+def synth_param(key: str, shape, seed: int = 0) -> np.ndarray:
+    """Deterministic, order-independent synthetic parameter value.
+
+    Seeded per key name (sha256), so the generator (torch key iteration,
+    includes num_batches_tracked) and the replay test (flax-derived key set)
+    draw identical values regardless of iteration order or extra keys.
+    Used by tools/gen_reference_fixtures.py for fixtures too large to check
+    in verbatim (AudioResNet18: 11M params)."""
+    import hashlib
+
+    digest = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+    rng = np.random.default_rng(np.frombuffer(digest, dtype=np.uint64))
+    if "running_var" in key:
+        return rng.uniform(0.5, 2.0, shape).astype(np.float32)
+    return rng.normal(0.0, 0.05, shape).astype(np.float32)
+
+
 def assert_close(a, b, atol=2e-4, rtol=2e-4, msg=""):
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
