@@ -51,12 +51,14 @@ def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
     # compile; sync via host fetches — block_until_ready does not actually
     # wait on the tunneled axon backend. The state chains through iterations,
     # so fetching the final loss transitively waits for every step.
-    state, total, *_ = trainer._train_step(state, video, audio, labels, valid, mask, lrs)
+    state, total, *_ = trainer._train_step(
+        state, video, audio, labels, valid, mask, lrs, np.float32(0.0)
+    )
     np.asarray(total)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, total, *_ = trainer._train_step(
-            state, video, audio, labels, valid, mask, lrs
+            state, video, audio, labels, valid, mask, lrs, np.float32(0.0)
         )
     np.asarray(total)
     dt = (time.perf_counter() - t0) / iters

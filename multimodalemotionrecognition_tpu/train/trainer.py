@@ -155,7 +155,16 @@ class EmotionTrainer:
         adam_core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self._adam_core = adam_core
 
-        def train_step(state: TrainState, video, audio_wav, labels, valid, mask, lrs):
+        def train_step(
+            state: TrainState,
+            video,
+            audio_wav,
+            labels,
+            valid,
+            mask,
+            lrs,
+            reset_opt=np.float32(0.0),
+        ):
             rng = jax.random.fold_in(state.rng, state.step)
             rngs = {
                 name: jax.random.fold_in(rng, i)
@@ -191,7 +200,18 @@ class EmotionTrainer:
                 state.params,
                 mask,
             )
-            deltas, opt_state = adam_core.update(grads, state.opt_state, state.params)
+            # Stage-flip optimizer reset as DATA, not a new executable: the
+            # reference rebuilds torch.optim.Adam at the flip (`:1080`);
+            # multiplying (mu, nu, count) by (1 - reset_opt) is numerically
+            # identical to a fresh scale_by_adam init while keeping ONE
+            # compiled step — eagerly re-initializing opt_state outside jit
+            # produced buffers whose layouts mismatched the donated outputs
+            # and forced a full tunnel recompile (487 s measured in round 1).
+            opt_in = jax.tree_util.tree_map(
+                lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
+                state.opt_state,
+            )
+            deltas, opt_state = adam_core.update(grads, opt_in, state.params)
             deltas = jax.tree_util.tree_map(
                 lambda d, lr, m: -lr * d * m, deltas, lrs, mask
             )
@@ -242,13 +262,20 @@ class EmotionTrainer:
         if self._train_step is None:
             self._build_steps()
         opt_state = self._adam_core.init(params)
-        return TrainState(
+        state = TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
             rng=state_rng,
             step=jnp.asarray(0, jnp.int32),
         )
+        # Commit the state replicated over the mesh BEFORE the first step:
+        # otherwise step 1 compiles against uncommitted single-device inputs
+        # and step 2 recompiles against the mesh-sharded step outputs (two
+        # executables for one shape — measured as a second tunnel compile).
+        from multimodalemotionrecognition_tpu.parallel.mesh import replicate
+
+        return jax.device_put(state, replicate(self.mesh))
 
     def _warm_start(self, params, batch_stats):
         """Branch checkpoint warm-start (reference `:913-947`): load standalone
@@ -314,10 +341,12 @@ class EmotionTrainer:
         train: bool,
         mask=None,
         lrs=None,
+        reset_opt_first: bool = False,
     ) -> Tuple[TrainState, Dict[str, float]]:
         totals = np.zeros(3)
         n = 0
         all_preds, all_labels = [], []
+        first = True
         for batch in loader:
             sb = shard_batch(
                 self.mesh,
@@ -329,8 +358,11 @@ class EmotionTrainer:
                 },
             )
             if train:
+                reset = np.float32(1.0 if (reset_opt_first and first) else 0.0)
+                first = False
                 state, total, cls_l, ctr_l, preds = self._train_step(
-                    state, sb["video"], sb["audio"], sb["labels"], sb["valid"], mask, lrs
+                    state, sb["video"], sb["audio"], sb["labels"], sb["valid"],
+                    mask, lrs, reset
                 )
             else:
                 total, cls_l, ctr_l, preds = self._eval_step(
@@ -379,6 +411,7 @@ class EmotionTrainer:
         history = []
 
         for epoch in range(1, self.tc.epochs + 1):
+            reset_opt = False
             if (
                 two_stage
                 and current_stage == 1
@@ -388,8 +421,11 @@ class EmotionTrainer:
                 current_stage = 2
                 mask = trainable_mask(state.params, self.mc, self.tc, 2)
                 # Stage flip rebuilds the optimizer exactly like the
-                # reference's fresh torch.optim.Adam (`:1080`).
-                state = state.replace(opt_state=self._adam_core.init(state.params))
+                # reference's fresh torch.optim.Adam (`:1080`) — done INSIDE
+                # the jitted step via the reset_opt flag so the flip reuses
+                # the stage-1 executable (round-1 eager re-init cost a 487 s
+                # tunnel recompile from donated-layout mismatch).
+                reset_opt = True
                 print(f"[INFO] Switched to stage-2 at epoch {epoch}.")
 
             epoch_in_stage = (
@@ -404,7 +440,9 @@ class EmotionTrainer:
             lrs = lr_tree(state.params, self.mc, self.tc, current_stage, scale)
 
             t0 = time.time()
-            state, train_m = self.run_epoch(state, train_loader, True, mask, lrs)
+            state, train_m = self.run_epoch(
+                state, train_loader, True, mask, lrs, reset_opt_first=reset_opt
+            )
             state, val_m = self.run_epoch(state, val_loader, False)
             dt = time.time() - t0
 

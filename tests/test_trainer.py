@@ -452,3 +452,58 @@ class TestDistributedCorrectness:
                 batch = shard_batch(mesh, wav)
                 outs[name] = np.asarray(jax.jit(forward)(params, batch))
         np.testing.assert_allclose(outs["tp2"], outs["tp1"], atol=1e-5, rtol=1e-5)
+
+
+class TestStageFlipNoRecompile:
+    """The stage-1->2 optimizer rebuild happens INSIDE the jitted step via
+    the reset_opt flag (round 1 re-initialized opt_state eagerly, which cost
+    a 487 s tunnel recompile from donated-layout mismatch)."""
+
+    def test_reset_flag_equals_fresh_init(self):
+        cfg = _small_model_cfg(
+            "xattn", xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0
+        )
+        tc = TrainConfig(lr=1e-3, donate_buffers=False)
+        trainer = EmotionTrainer(cfg, tc)
+        state = trainer.init_state()
+        mask = trainable_mask(state.params, cfg, tc, stage=0)
+        lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video),
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.valid),
+            mask,
+            lrs,
+        )
+        # warm up optimizer state so the reset is non-trivial
+        for _ in range(3):
+            state, *_ = trainer._train_step(state, *args)
+
+        via_flag, *_ = trainer._train_step(state, *args, np.float32(1.0))
+        fresh = state.replace(opt_state=trainer._adam_core.init(state.params))
+        via_init, *_ = trainer._train_step(fresh, *args)
+
+        a = flatten_dict(jax.device_get(via_flag.params))
+        b = flatten_dict(jax.device_get(via_init.params))
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-7, err_msg=str(k)
+            )
+        # and it actually reset: count restarts at 1
+        assert int(jax.device_get(via_flag.opt_state.count)) == 1
+
+    def test_two_stage_fit_compiles_one_executable(self, tmp_path):
+        cfg = _small_model_cfg("gated")
+        tc = TrainConfig(
+            epochs=2,
+            stage1_epochs=1,
+            two_stage_training=True,
+            lr=1e-3,
+            early_stopping_patience=0,
+            output_dir=str(tmp_path),
+        )
+        trainer = EmotionTrainer(cfg, tc)
+        trainer.fit(_ListLoader(_toy_batches(2)), _ListLoader(_toy_batches(1, seed=5)))
+        assert trainer._train_step._cache_size() == 1
