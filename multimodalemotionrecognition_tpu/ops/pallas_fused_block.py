@@ -23,6 +23,17 @@ right before their matmul (the XLA-analog of ONNX dynamic quantization,
 reference `src/export_optimized_model.py:89-104`).
 
 Eval-mode semantics (dropout-free) — this is the serving path.
+
+Hardware parity: mean-pooled variants are BIT-EXACT vs the modular XLA graph
+on real TPU.  attn-pooled variants differ by ~1e-3 on logits — measured
+against a float64 CPU ground truth, the kernel is CLOSER to the true answer
+(2.3e-3) than the modular XLA path (3.0e-3); the mutual deviation is the
+rounding-noise floor of DEFAULT-precision (single-pass bf16) MXU matmuls
+scheduled differently, not an error in either path.  Narrow K=1/N=1 dots
+(attention-pool score Dense(1), emotion-prior token scores and outer sums)
+are pinned to Precision.HIGHEST because XLA computes those exactly while
+Mosaic would route them through a single bf16 MXU pass (was 1.6e-3 extra
+deviation); wide matmuls stay DEFAULT to match the modular path's precision.
 """
 
 from __future__ import annotations
@@ -50,7 +61,6 @@ class FusedBlockSpec:
     head: str  # "concat" | "gated"
     use_prior: bool
     num_classes: int
-    batched_heads: bool = True  # dot_general over a head batch dim vs slicing
 
 
 # ---------------------------------------------------------------------------
@@ -150,14 +160,37 @@ def extract_block_params(
     dequant_scales = dequant_scales or {}
     args: List[jnp.ndarray] = []
     layout: List[Tuple[str, bool]] = []
+    d = spec.d_model
     for name, path, is_matrix in _param_table(spec):
         leaf = _tree_get(params, path)
         full_path = ("params",) + path
         scale = dequant_scales.get(full_path) if is_matrix else None
-        if scale is not None:
+        if name.endswith("_in_w"):
+            # Packed qkv weight [d, 3d] split into three [d, d] matrices
+            # outside the kernel (same lane-slice constraint as the bias).
+            mat = jnp.asarray(leaf)
+            srow = None if scale is None else jnp.asarray(scale, jnp.float32)
+            if srow is None and mat.dtype != jnp.int8:
+                mat = mat.astype(jnp.float32)
+            for part, sl in (("q", slice(0, d)), ("k", slice(d, 2 * d)),
+                             ("v", slice(2 * d, 3 * d))):
+                args.append(mat[:, sl])
+                if srow is not None:
+                    args.append(srow[:, sl])
+                layout.append((f"{name}{part}", srow is not None))
+        elif scale is not None:
             args.append(jnp.asarray(leaf))  # int8 [in, out]
             args.append(jnp.asarray(scale, jnp.float32))  # [1, out]
             layout.append((name, True))
+        elif name.endswith("_in_b"):
+            # Packed qkv bias [3d] split into three [d] rows OUTSIDE the
+            # kernel: Mosaic cannot broadcast a lane-sliced row (the
+            # "Invalid input layout" vector.broadcast failure on hardware).
+            arr = jnp.asarray(leaf).astype(jnp.float32)
+            for part, sl in (("q", slice(0, d)), ("k", slice(d, 2 * d)),
+                             ("v", slice(2 * d, 3 * d))):
+                args.append(arr[sl])
+                layout.append((f"{name}{part}", False))
         else:
             arr = jnp.asarray(leaf)
             if arr.dtype != jnp.int8:
@@ -182,71 +215,124 @@ def _dotf(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _mha(q_in, kv_in, w_in, b_in, w_out, b_out, bias, spec: FusedBlockSpec):
-    """torch-semantics multi-head attention on 2D tiles ([Tq,d] x [Tk,d])."""
+def _dot_nt(a, b, precision=None):
+    """a [M,K] x b [N,K] -> [M,N] without materializing a transpose (the MXU
+    takes the contraction directly; Mosaic has no cheap 2-D transpose)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _dot_hi(a, b):
+    """HIGHEST-precision dot for NARROW contractions (K=1 or N=1 score/outer
+    products).  XLA computes these exactly on the VPU in the modular graph,
+    but Mosaic routes every dot through the MXU at default single-pass-bf16
+    precision — measured 1.6e-3 logit deviation on hardware for the attn-pool
+    and emotion-prior paths until these dots were pinned to HIGHEST."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _mha(q_in, kv_in, wq, bq, wk, bk, wv, bv, w_out, b_out, bias,
+         spec: FusedBlockSpec):
+    """torch-semantics multi-head attention on 2D tiles ([Tq,d] x [Tk,d]).
+
+    Head separation uses LANE MASKS, not reshapes: Mosaic cannot lower a
+    [T, d] -> [T, h, dh] lane-splitting reshape ("unsupported shape cast" on
+    real TPU hardware), so per-head scores are computed as
+    (q * mask_h) . k^T — the zeroed lanes kill cross-head terms, giving
+    exactly q_h . k_h^T while every operand stays [*, d].  Extra FLOPs are
+    h* the score/context matmuls, which are ~1% of the block (the
+    projections dominate); in exchange nothing leaves the 128-lane layout.
+    The packed torch in_proj weight/bias arrive pre-split per q/k/v
+    (extract_block_params) because Mosaic cannot broadcast or contract
+    lane-sliced values.
+    """
     d = spec.d_model
     h = spec.num_heads
     dh = d // h
     scale = dh**-0.5
-    q = _dotf(q_in, w_in[:, :d]) + b_in[:d]
-    k = _dotf(kv_in, w_in[:, d : 2 * d]) + b_in[d : 2 * d]
-    v = _dotf(kv_in, w_in[:, 2 * d :]) + b_in[2 * d :]
-    tq, tk = q.shape[0], k.shape[0]
-    if spec.batched_heads:
-        # One batched contraction over the head dim instead of a per-head
-        # python loop: [h, tq, dh] x [h, tk, dh] -> [h, tq, tk].
-        qh = (q * scale).reshape(tq, h, dh).transpose(1, 0, 2)
-        kh = k.reshape(tk, h, dh).transpose(1, 0, 2)
-        vh = v.reshape(tk, h, dh).transpose(1, 0, 2)
-        scores = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+    q = _dotf(q_in, wq) + bq
+    k = _dotf(kv_in, wk) + bk
+    v = _dotf(kv_in, wv) + bv
+    tq = q.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    ctx = jnp.zeros((tq, d), jnp.float32)
+    for i in range(h):
+        mask = ((lane >= i * dh) & (lane < (i + 1) * dh)).astype(jnp.float32)
+        scores = _dot_nt(q * (scale * mask), k)
         if bias is not None:
-            scores = scores + bias[None, :, :]
+            scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jax.lax.dot_general(
-            probs, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # [h, tq, dh]
-        attn = ctx.transpose(1, 0, 2).reshape(tq, d)
-    else:
-        outs = []
-        for i in range(h):
-            sl = slice(i * dh, (i + 1) * dh)
-            scores = _dotf(q[:, sl] * scale, k[:, sl].T)
-            if bias is not None:
-                scores = scores + bias
-            outs.append(_dotf(jax.nn.softmax(scores, axis=-1), v[:, sl]))
-        attn = jnp.concatenate(outs, axis=1)
-    return _dotf(attn, w_out) + b_out
+        ctx = ctx + _dotf(probs, v * mask)
+    return _dotf(ctx, w_out) + b_out
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7 — f32 noise
+    floor): Mosaic has no erf/erfc lowering, so exact-GELU needs its own."""
+    sign = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    """torch nn.GELU() (erf form, reference `src/models/temporal.py:16`)."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
 
 
 def _attn_pool(x, ln_s, ln_b, w1, b1, w2, b2):
-    """TemporalAttentionPooling (reference `src/models/temporal.py:9-26`)."""
+    """TemporalAttentionPooling (reference `src/models/temporal.py:9-26`).
+
+    Everything stays 2-D ([T,1] scores, [1,d] output) — Mosaic wants rank-2
+    vectors; sublane (axis-0) reductions lower fine."""
     s = _layer_norm(x, ln_s, ln_b)
-    s = jax.nn.gelu(_dotf(s, w1) + b1, approximate=False)
-    s = (_dotf(s, w2) + b2)[:, 0]
+    s = _gelu_exact(_dotf(s, w1) + b1)
+    s = _dot_hi(s, w2) + b2  # [T, 1]
     w = jax.nn.softmax(s, axis=0)
-    return jnp.sum(x * w[:, None], axis=0)
+    return jnp.sum(x * w, axis=0, keepdims=True)  # [1, d]
 
 
 def _prior_bias(v, a, p, spec: FusedBlockSpec):
     """EmotionPriorBiasAdapter math (reference `src/models/fusion.py:153-184`)
-    on single-sample tiles."""
-    pooled = jnp.concatenate([jnp.mean(v, axis=0), jnp.mean(a, axis=0)])[None, :]
+    on single-sample tiles.
+
+    The token-score broadcasts vq[i] + ak[j] are built with rank-2 outer
+    products against a ones column ([T,1] x [T',1] contractions) instead of
+    1-D indexing/transposes, which Mosaic cannot lower."""
+    pooled = jnp.concatenate(
+        [jnp.mean(v, axis=0, keepdims=True), jnp.mean(a, axis=0, keepdims=True)],
+        axis=1,
+    )  # [1, 2d]
     hidden = jax.nn.relu(_dotf(pooled, p["ep_p0_w"]) + p["ep_p0_b"])
     prior = _dotf(hidden, p["ep_p3_w"]) + p["ep_p3_b"]  # [1, pdim]
-    scale = p["ep_scale"].reshape(())
+    scale = p["ep_scale"].reshape((1, 1))
 
     def scores(tokens, w, b):
-        pb = jnp.broadcast_to(prior, (tokens.shape[0], prior.shape[1]))
-        return (_dotf(jnp.concatenate([tokens, pb], axis=1), w) + b)[:, 0]
+        # tokens [T, d]; w [d + pdim, 1] -> token part + constant prior part.
+        t_part = _dot_hi(tokens, w[: tokens.shape[1], :])
+        p_part = _dot_hi(prior, w[tokens.shape[1] :, :])
+        return t_part + p_part + b  # [T, 1]
+
+    def outer_sum(qs, ks):
+        # qs [Tq,1], ks [Tk,1] -> qs[i] + ks[j] as two rank-1 matmuls.
+        ones_q = jnp.ones_like(qs)
+        ones_k = jnp.ones_like(ks)
+        hi = jax.lax.Precision.HIGHEST
+        return _dot_nt(qs, ones_k, hi) + _dot_nt(ones_q, ks, hi)
 
     vq = scores(v, p["ep_vq_w"], p["ep_vq_b"])
     ak = scores(a, p["ep_ak_w"], p["ep_ak_b"])
     aq = scores(a, p["ep_aq_w"], p["ep_aq_b"])
     vk = scores(v, p["ep_vk_w"], p["ep_vk_b"])
-    v2a = jnp.tanh(vq[:, None] + ak[None, :]) * scale
-    a2v = jnp.tanh(aq[:, None] + vk[None, :]) * scale
+    v2a = jnp.tanh(outer_sum(vq, ak)) * scale
+    a2v = jnp.tanh(outer_sum(aq, vk)) * scale
     return v2a, a2v
 
 
@@ -281,13 +367,15 @@ def _block_kernel(spec: FusedBlockSpec, layout, v_ref, a_ref, *param_refs):
         v2a_bias, a2v_bias = _prior_bias(v, a, p, spec)
 
     v2 = _mha(
-        v, a, p["v2a_in_w"], p["v2a_in_b"], p["v2a_out_w"], p["v2a_out_b"],
+        v, a, p["v2a_in_wq"], p["v2a_in_bq"], p["v2a_in_wk"], p["v2a_in_bk"],
+        p["v2a_in_wv"], p["v2a_in_bv"], p["v2a_out_w"], p["v2a_out_b"],
         v2a_bias, spec,
     )
     v_new = _layer_norm(v + v2, p["vn_s"], p["vn_b"])
     # Reference ordering quirk: a2v consumes the UPDATED video tokens.
     a2 = _mha(
-        a, v_new, p["a2v_in_w"], p["a2v_in_b"], p["a2v_out_w"], p["a2v_out_b"],
+        a, v_new, p["a2v_in_wq"], p["a2v_in_bq"], p["a2v_in_wk"], p["a2v_in_bk"],
+        p["a2v_in_wv"], p["a2v_in_bv"], p["a2v_out_w"], p["a2v_out_b"],
         a2v_bias, spec,
     )
     a_new = _layer_norm(a + a2, p["an_s"], p["an_b"])
@@ -302,10 +390,10 @@ def _block_kernel(spec: FusedBlockSpec, layout, v_ref, a_ref, *param_refs):
             p["ap_w2"], p["ap_b2"],
         )
     else:
-        v_emb = jnp.mean(v_new, axis=0)
-        a_emb = jnp.mean(a_new, axis=0)
+        v_emb = jnp.mean(v_new, axis=0, keepdims=True)  # [1, d]
+        a_emb = jnp.mean(a_new, axis=0, keepdims=True)
 
-    fused_in = jnp.concatenate([v_emb, a_emb])[None, :]  # [1, 2d]
+    fused_in = jnp.concatenate([v_emb, a_emb], axis=1)  # [1, 2d]
     if spec.head == "concat":
         hidden = jax.nn.relu(_dotf(fused_in, p["h_w1"]) + p["h_b1"])
         logits = _dotf(hidden, p["h_w2"]) + p["h_b2"]
@@ -314,11 +402,13 @@ def _block_kernel(spec: FusedBlockSpec, layout, v_ref, a_ref, *param_refs):
             _dotf(jax.nn.relu(_dotf(fused_in, p["g_w1"]) + p["g_b1"]), p["g_w2"])
             + p["g_b2"]
         )
-        fused = g * v_emb[None, :] + (1.0 - g) * a_emb[None, :]
+        fused = g * v_emb + (1.0 - g) * a_emb
         logits = _dotf(fused, p["c_w"]) + p["c_b"]
 
-    padded = jnp.zeros((1, _LANES), jnp.float32)
-    out_ref[0] = jax.lax.dynamic_update_slice(padded, logits, (0, 0))
+    # Static concatenate instead of dynamic_update_slice: Mosaic has no
+    # TC lowering for the latter (caught compiling on real TPU hardware).
+    pad = jnp.zeros((1, _LANES - logits.shape[1]), jnp.float32)
+    out_ref[0] = jnp.concatenate([logits, pad], axis=1)
 
 
 def build_fused_block_fn(spec: FusedBlockSpec, layout, interpret: bool = False):
@@ -333,9 +423,11 @@ def build_fused_block_fn(spec: FusedBlockSpec, layout, interpret: bool = False):
     def fn(v_feat, a_seq, *param_args):
         b, t, dv = v_feat.shape
         ta, ds = a_seq.shape[1], a_seq.shape[2]
+        # Mosaic wants rank-2 vectors: biases/scales/scalars go in as [1, N].
+        param_args = [a.reshape(1, -1) if a.ndim <= 1 else a for a in param_args]
 
         def const_spec(arr):
-            shape = arr.shape if arr.ndim else (1,)
+            shape = arr.shape
             return pl.BlockSpec(
                 shape, lambda i, _s=shape: tuple(0 for _ in _s),
                 memory_space=pltpu.VMEM,
@@ -345,7 +437,6 @@ def build_fused_block_fn(spec: FusedBlockSpec, layout, interpret: bool = False):
             pl.BlockSpec((1, t, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ta, ds), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ] + [const_spec(a) for a in param_args]
-        param_args = [a.reshape(1) if a.ndim == 0 else a for a in param_args]
 
         out = pl.pallas_call(
             functools.partial(_block_kernel, spec, layout),
