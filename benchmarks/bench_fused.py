@@ -120,12 +120,17 @@ def main() -> None:
 
         return loop
 
-    def timed(step, n):
+    def timed(step, n, repeats=5):
+        """min-of-repeats wall time for one scan(n) launch: the min strips
+        tunnel RPC jitter (~tens of ms), which otherwise swamps the slope."""
         loop = make_loop(step, n)
         np.asarray(loop(v_feat, a_seq))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(loop(v_feat, a_seq))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(loop(v_feat, a_seq))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     results = {}
     for name, step in (("modular", modular_step), ("fused", fused_step)):

@@ -293,23 +293,44 @@ def _load_video_frames_native(
     if total <= 0:
         return None
     indices = [int(i) for i in uniform_frame_indices(total, num_frames)]
-    rect = None
     try:
-        if use_face_crop:
-            if bbox is None:
-                first = medialoader.decode_video_frames(
-                    path, indices[:1], info["width"], info["height"]
-                )[0]
-                detector = get_face_detector()
-                if detector is not None:
-                    bbox = detector.detect_face_bbox(first)
-            if bbox is not None:
-                rect = padded_crop_rect(
-                    (info["height"], info["width"]), bbox, pad_ratio=0.3
-                )
-        return medialoader.decode_video_frames(path, indices, size, size, crop=rect)
+        if not use_face_crop or bbox is not None:
+            # bbox known (parity injection / streaming reuse) or no crop:
+            # crop+resize inside the decoder, single pass.
+            rect = (
+                padded_crop_rect((info["height"], info["width"]), bbox, 0.3)
+                if (use_face_crop and bbox is not None)
+                else None
+            )
+            return medialoader.decode_video_frames(
+                path, indices, size, size, crop=rect
+            )
+        # bbox unknown (the common serving case): ONE decode pass at native
+        # resolution — h264 decode dominates (~75% of preprocess), so the
+        # separate first-frame detection pass is folded away — then detect
+        # on the first sampled frame and crop+resize with cv2, which is
+        # byte-for-byte the reference's crop path (`src/data/ravdess.py:
+        # 337-357`: crop_with_padding then cv2.resize INTER_LINEAR).
+        nat = medialoader.decode_video_frames(
+            path, indices, info["width"], info["height"]
+        )
     except RuntimeError:
         return None
+    det_bbox = None
+    try:
+        detector = get_face_detector()
+        if detector is not None:
+            det_bbox = detector.detect_face_bbox(nat[0])
+    except Exception:
+        det_bbox = None  # full-frame fallback, like the reference
+    import cv2
+
+    out = np.empty((len(nat), size, size, 3), dtype=np.uint8)
+    for i, frame in enumerate(nat):
+        if det_bbox is not None:
+            frame = crop_with_padding(frame, det_bbox, pad_ratio=0.3)
+        out[i] = cv2.resize(frame, (size, size), interpolation=cv2.INTER_LINEAR)
+    return out
 
 
 def load_video_frames(
