@@ -79,6 +79,11 @@ def main() -> None:
         help="payload type; mp4/webm are real audio-carrying videos",
     )
     ap.add_argument("--preprocess-workers", type=int, default=8)
+    ap.add_argument(
+        "--latency",
+        action="store_true",
+        help="sequential single-request latency (p50/p95) instead of throughput",
+    )
     args = ap.parse_args()
 
     import os
@@ -152,20 +157,49 @@ def main() -> None:
             tid = await gateway.submit(f"warm{ext}", payload)
             await gateway.wait_for_result(tid, timeout_sec=120)
 
-            t0 = time.perf_counter()
-            ids = await gateway.submit_many(
-                [(f"clip{i}{ext}", payload) for i in range(args.clips)]
-            )
-            await asyncio.gather(
-                *(gateway.wait_for_result(i, timeout_sec=600) for i in ids)
-            )
-            dt = time.perf_counter() - t0
+            if args.latency:
+                # Sequential submits: per-request wall time (batching window
+                # included — this is what one live client observes).
+                lats = []
+                for i in range(args.clips):
+                    t0 = time.perf_counter()
+                    tid = await gateway.submit(f"clip{i}{ext}", payload)
+                    await gateway.wait_for_result(tid, timeout_sec=600)
+                    lats.append(time.perf_counter() - t0)
+                dt = float(np.sum(lats))
+            else:
+                t0 = time.perf_counter()
+                ids = await gateway.submit_many(
+                    [(f"clip{i}{ext}", payload) for i in range(args.clips)]
+                )
+                await asyncio.gather(
+                    *(gateway.wait_for_result(i, timeout_sec=600) for i in ids)
+                )
+                dt = time.perf_counter() - t0
+                lats = None
         batcher.stop()
         task.cancel()
         print("[bench_serving] stages:", json.dumps(batcher.timer.summary()))
-        return dt
+        return dt, lats
 
-    dt = asyncio.run(run())
+    dt, lats = asyncio.run(run())
+    if args.latency:
+        arr = np.asarray(sorted(lats))
+        p50 = float(arr[len(arr) // 2]) * 1e3
+        p95 = float(arr[int(len(arr) * 0.95)]) * 1e3
+        print(
+            json.dumps(
+                {
+                    "metric": f"serving_request_latency_{args.container}",
+                    "value": round(p50, 1),
+                    "unit": "ms_p50",
+                    "p95_ms": round(p95, 1),
+                    # ref GPU full pipeline <1 s/clip (SYSTEM_SUMMARY.md:737)
+                    "vs_baseline": round(1000.0 / p50, 2),
+                }
+            )
+        )
+        return
     clips_per_min = args.clips / dt * 60.0
     print(
         json.dumps(

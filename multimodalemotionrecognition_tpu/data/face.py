@@ -174,7 +174,15 @@ class BlazeFaceDetector:
             raw_boxes, scores = bf.blazeface_forward(params, img)
             return raw_boxes[0], scores[0]
 
-        self._fn = jax.jit(run)
+        # Pin to the host CPU backend: face detection is per-clip HOST
+        # preprocessing, and on a tunneled-TPU host the default backend
+        # would pay a ~170 ms RPC per detect.  The CPU backend coexists
+        # with the pinned TPU platform.
+        try:
+            cpu = jax.devices("cpu")[0]
+            self._fn = jax.jit(run, device=cpu)
+        except RuntimeError:
+            self._fn = jax.jit(run)
 
     def detect_face_bbox(self, image_rgb: np.ndarray) -> Optional[Bbox]:
         if self._fn is None:
