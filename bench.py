@@ -46,7 +46,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     use_wavlm = os.environ.get("BENCH_WAVLM", "1") == "1"
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
 
     config = ModelConfig(
         fusion="xattn",
@@ -76,31 +76,48 @@ def main() -> None:
 
     variables = model.init(jax.random.PRNGKey(0), video, prep(audio))
 
-    @jax.jit
-    def forward(variables, video, audio):
+    from jax import lax
+
+    def step(variables, video, audio):
         out, _ = model.apply(variables, video, prep(audio))
-        probs = jax.nn.softmax(out.astype(jnp.float32), axis=1)
-        # Chain the next iteration's input to this output: defeats any
-        # transparent caching of identical (executable, args) executions and
-        # keeps every timed iteration doing real compute.
-        audio_next = audio + probs[0, 0].astype(audio.dtype) * 1e-9
-        return probs, audio_next
+        return jax.nn.softmax(out.astype(jnp.float32), axis=1)
 
-    # Warmup / compile. NB: sync via a host fetch — on the tunneled axon
-    # backend block_until_ready() returns before device completion, which
-    # silently inflates throughput; np.asarray forces a real round trip, and
-    # the input chaining above makes the final fetch transitively wait for
-    # every timed iteration.
-    out, audio = forward(variables, video, audio)
-    np.asarray(out)
+    def make_loop(n):
+        @jax.jit
+        def loop(variables, video, audio):
+            def body(carry, _):
+                # Chain each iteration's input to the previous output:
+                # defeats CSE/LICM and keeps every iteration doing real
+                # compute; the final carry fetch transitively waits for all.
+                probs = step(variables, video, audio + carry * 1e-24)
+                return carry + probs.sum(), None
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, audio = forward(variables, video, audio)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
+            c, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
 
-    clips_per_min = batch * iters / dt * 60.0
+        return loop
+
+    def timed(n, repeats=3):
+        # Sync via a host fetch — on the tunneled axon backend
+        # block_until_ready() returns before device completion.  min-of-
+        # repeats strips tunnel RPC jitter.
+        loop = make_loop(n)
+        np.asarray(loop(variables, video, audio))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(loop(variables, video, audio))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Slope between two scan lengths: per-iteration DEVICE time with the
+    # fixed per-call dispatch/RPC overhead cancelled (the round-1 per-call
+    # loop measured dispatch, not compute — see benchmarks/RESULTS.md).
+    n_lo, n_hi = max(2, iters // 4), iters
+    t_lo, t_hi = timed(n_lo), timed(n_hi)
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+
+    clips_per_min = batch / dt * 60.0
     baseline_clips_per_min = 60.0  # reference GPU: <1 s per 3 s clip
     print(
         json.dumps(
@@ -109,6 +126,7 @@ def main() -> None:
                 "value": round(clips_per_min, 1),
                 "unit": "3s_clips_per_min",
                 "vs_baseline": round(clips_per_min / baseline_clips_per_min, 2),
+                "method": f"scan_slope_{n_lo}_{n_hi}_min3",
             }
         )
     )

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodalemotionrecognition_tpu.ops.activations import gelu_erf
 from multimodalemotionrecognition_tpu.models.temporal import TemporalPooler
 
 __all__ = ["WavLMConfig", "WavLMModel", "WavLMAudioEncoder"]
@@ -183,7 +184,7 @@ class WavLMEncoderLayer(nn.Module):
         ff = nn.Dense(cfg.intermediate_size, dtype=dtype, name="feed_forward.intermediate_dense")(
             hidden_states
         )
-        ff = nn.gelu(ff, approximate=False)
+        ff = gelu_erf(ff)
         ff = nn.Dropout(rate=cfg.activation_dropout, deterministic=not train)(ff)
         ff = nn.Dense(cfg.hidden_size, dtype=dtype, name="feed_forward.output_dense")(ff)
         ff = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(ff)
@@ -240,7 +241,7 @@ class WavLMModel(nn.Module):
                     (dim,),
                 )
                 x = x * scale.astype(dtype) + bias.astype(dtype)
-            x = nn.gelu(x, approximate=False)
+            x = gelu_erf(x)
 
         # --- feature projection ---
         x = nn.LayerNorm(
@@ -269,7 +270,7 @@ class WavLMModel(nn.Module):
         )(x)
         if cfg.num_conv_pos_embeddings % 2 == 0:
             pos = pos[:, :-1, :]
-        pos = nn.gelu(pos, approximate=False)
+        pos = gelu_erf(pos)
         x = x + pos
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="encoder.layer_norm"

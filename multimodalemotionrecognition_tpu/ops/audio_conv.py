@@ -61,6 +61,21 @@ def strided_conv1d_valid(
     y = x.reshape(b, rows, stride * cin)  # row t = taps [t*s .. t*s+s-1]
 
     w_flat = kernel.reshape(k * cin, cout)  # tap-major rows match y's layout
+    if k > stride and k * cin <= 128:
+        # NARROW-K layers (WavLM L0: k=10, cin=1): ONE im2col matmul.  The
+        # lo/hi partial-sum scheme materializes two f32 [B, T_out, C_out]
+        # partials — at K=5 the matmul is output-write-bound, so the second
+        # pass nearly doubles the cost (measured: L0 conv 8.9 ms -> 1.4 ms
+        # at b128 bf16).  For wide-K layers (cin=512) the concat copy costs
+        # more than the partial it saves, so they keep the lo/hi path.
+        lo = y[:, :t_out, :]
+        hi = y[:, 1 : t_out + 1, : (k - stride) * cin]
+        cat = jnp.concatenate([lo, hi], axis=2)  # [B, T_out, k*cin]
+        out = jnp.einsum(
+            "btc,cd->btd", cat, w_flat, preferred_element_type=jnp.float32
+        )
+        return out.astype(x.dtype)
+
     w_lo = w_flat[: min(k, stride) * cin]
     out = jnp.einsum(
         "btc,cd->btd",
