@@ -13,6 +13,9 @@ the VPU cost.
 
 from __future__ import annotations
 
+import math
+
+import jax
 import jax.numpy as jnp
 
 __all__ = ["erf_rational", "gelu_erf"]
@@ -30,12 +33,26 @@ def erf_rational(z: jnp.ndarray) -> jnp.ndarray:
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
+@jax.custom_jvp
 def gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-form GELU (0.5·x·(1+erf(x/√2))) with the rational erf.
 
     Computes in f32 regardless of input dtype (bf16 in would otherwise lose
-    the approximation's accuracy) and casts back.
+    the approximation's accuracy) and casts back.  A custom JVP supplies the
+    analytic derivative Φ(x) + x·φ(x) — autodiff through the rational would
+    cost ~2× the exact form (and is non-smooth at 0 through sign/abs).
     """
     xf = x.astype(jnp.float32)
     out = 0.5 * xf * (1.0 + erf_rational(xf * (2.0**-0.5)))
     return out.astype(x.dtype)
+
+
+@gelu_erf.defjvp
+def _gelu_erf_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + erf_rational(xf * (2.0**-0.5)))
+    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / math.sqrt(2.0 * math.pi))
+    grad = (cdf + xf * pdf).astype(x.dtype)
+    return (cdf * xf).astype(x.dtype), grad * dx

@@ -133,3 +133,32 @@ class TestNumpyMelTwin:
         b = log_mel_spectrogram_np(wav)
         assert b.shape == (2, 64, 301)
         np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+
+
+class TestGeluErf:
+    """Rational-erf exact GELU (`ops/activations.py`) — value + custom-JVP grad."""
+
+    def test_value_matches_exact_gelu(self):
+        from multimodalemotionrecognition_tpu.ops.activations import gelu_erf
+
+        x = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+        got = gelu_erf(x)
+        want = jax.nn.gelu(x, approximate=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_custom_jvp_grad_matches_analytic(self):
+        from multimodalemotionrecognition_tpu.ops.activations import gelu_erf
+
+        x = jnp.linspace(-5.0, 5.0, 1025, dtype=jnp.float32)
+        got = jax.vmap(jax.grad(gelu_erf))(x)
+        want = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_grad_finite_at_zero_and_bf16_roundtrip(self):
+        from multimodalemotionrecognition_tpu.ops.activations import gelu_erf
+
+        g0 = jax.grad(gelu_erf)(jnp.float32(0.0))
+        assert np.isfinite(float(g0)) and abs(float(g0) - 0.5) < 1e-6
+        xb = jnp.linspace(-3, 3, 257, dtype=jnp.bfloat16)
+        out = gelu_erf(xb)
+        assert out.dtype == jnp.bfloat16
