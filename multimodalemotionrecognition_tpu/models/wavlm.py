@@ -61,6 +61,13 @@ class WavLMConfig:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     apply_spec_augment: bool = True
+    # Eval-path attention core: "auto" = fused Pallas kernel when running on
+    # TPU (ops/pallas_wavlm_attn.py), modular XLA otherwise; True/False force;
+    # "interpret" forces the kernel in interpreter mode (CPU tests).
+    fused_attention: object = "auto"
+    # Eval-path conv feature extractor: fused Pallas conv+GELU chain
+    # (ops/pallas_conv_fe.py) for the wide-K layers; same flag semantics.
+    fused_conv: object = "auto"
 
 
 def _relative_position_buckets(
@@ -88,6 +95,51 @@ def _relative_position_buckets(
     return buckets
 
 
+def _resolve_fused(flag, train: bool) -> bool:
+    """Resolve a fused-kernel config flag.  "auto" enables the kernel only
+    for single-device TPU eval (a pallas_call inside a sharded jit is not
+    automatically partitioned; multi-chip users opt in explicitly with
+    flag=True under shard_map)."""
+    if flag == "auto":
+        return (
+            (not train)
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+        )
+    return bool(flag)
+
+
+class _DenseParamsOnly(nn.Module):
+    """Declares nn.Dense-compatible params without running the matmul (the
+    fused attention kernel consumes them directly; checkpoint tree and init
+    distribution stay identical to nn.Dense)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LayerNormParamsOnly(nn.Module):
+    """Declares nn.LayerNorm-compatible params (see _DenseParamsOnly)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class WavLMAttentionSelf(nn.Module):
     """WavLM self-attention with gated relative position bias."""
 
@@ -101,7 +153,15 @@ class WavLMAttentionSelf(nn.Module):
         hidden_states: jnp.ndarray,
         position_bias: Optional[jnp.ndarray],
         train: bool = False,
+        fused_parts: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Modular mode (default): -> (attention output [B, T, E], bias).
+
+        fused_parts mode (fused eval path): computes only the q/k/v
+        projections and the gate, declares the out-projection params, and
+        returns ((q, k, v, gate, wo, bo), position_bias) for the encoder
+        layer to feed `ops/pallas_wavlm_attn.py` (which folds out-proj +
+        residual + post-norm into the kernel)."""
         cfg = self.config
         dtype = self.dtype or hidden_states.dtype
         b, t, e = hidden_states.shape
@@ -131,15 +191,22 @@ class WavLMAttentionSelf(nn.Module):
             "gru_rel_pos_const", nn.initializers.ones, (1, h, 1, 1)
         ).astype(dtype)
         gate_output = gate_a * (gate_b * const - 1.0) + 2.0  # [B, H, T, 1]
-        gated_bias = gate_output * position_bias[None].astype(dtype)  # [B,H,T,T]
 
         q = nn.Dense(e, dtype=dtype, name="q_proj")(hidden_states)
         k = nn.Dense(e, dtype=dtype, name="k_proj")(hidden_states)
         v = nn.Dense(e, dtype=dtype, name="v_proj")(hidden_states)
+
+        if fused_parts:
+            wo, bo = _DenseParamsOnly(e, e, name="out_proj")()
+            gate_f = gate_output.astype(jnp.float32).reshape(b, h * t, 1)
+            parts = (q * (dh**-0.5), k, v, gate_f, wo.astype(dtype), bo)
+            return parts, position_bias
+
         q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3) * (dh**-0.5)
         k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
 
+        gated_bias = gate_output * position_bias[None].astype(dtype)
         scores = jnp.einsum(
             "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
         )
@@ -165,21 +232,45 @@ class WavLMEncoderLayer(nn.Module):
         hidden_states: jnp.ndarray,
         position_bias: Optional[jnp.ndarray],
         train: bool = False,
+        seq_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = self.dtype or hidden_states.dtype
-        attn_out, position_bias = WavLMAttentionSelf(
+        attention = WavLMAttentionSelf(
             config=cfg,
             has_relative_position_bias=self.has_relative_position_bias,
             dtype=dtype,
             name="attention",
-        )(hidden_states, position_bias, train=train)
-        attn_out = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(
-            attn_out
         )
-        hidden_states = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
-        )(hidden_states + attn_out)
+        if _resolve_fused(cfg.fused_attention, train):
+            from multimodalemotionrecognition_tpu.ops.pallas_wavlm_attn import (
+                wavlm_fused_attention_sublayer,
+            )
+
+            b, tp, e = hidden_states.shape
+            parts, position_bias = attention(
+                hidden_states, position_bias, train=False, fused_parts=True
+            )
+            qn, kn, vn, gate_f, wo, bo = parts
+            lns, lnb = _LayerNormParamsOnly(e, name="layer_norm")()
+            bias2d = position_bias.astype(jnp.float32).reshape(-1, tp)
+            hidden_states = wavlm_fused_attention_sublayer(
+                hidden_states, qn, kn, vn, gate_f, bias2d, wo, bo, lns, lnb,
+                num_heads=cfg.num_attention_heads,
+                seq_len=seq_len if seq_len is not None else tp,
+                eps=cfg.layer_norm_eps,
+                interpret=(cfg.fused_attention == "interpret"),
+            )
+        else:
+            attn_out, position_bias = attention(
+                hidden_states, position_bias, train=train
+            )
+            attn_out = nn.Dropout(
+                rate=cfg.hidden_dropout, deterministic=not train
+            )(attn_out)
+            hidden_states = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
+            )(hidden_states + attn_out)
 
         ff = nn.Dense(cfg.intermediate_size, dtype=dtype, name="feed_forward.intermediate_dense")(
             hidden_states
@@ -212,36 +303,112 @@ class WavLMModel(nn.Module):
             strided_conv1d_valid,
         )
 
-        x = input_values[..., None]  # [B, T, 1]
+        # Param creation order matters for same-seed init reproducibility
+        # (linen derives param RNG from creation order within a scope), so
+        # keep the original interleaving: conv0, GN scale/bias, conv1, ...
+        conv_ws = []
+        gn_scale = gn_bias = None
         in_dim = 1
-        for i, (dim, stride, kernel) in enumerate(
-            zip(cfg.conv_dim, cfg.conv_stride, cfg.conv_kernel)
-        ):
-            w = self.param(
-                f"feature_extractor.conv_layers.{i}.conv.kernel",
-                nn.initializers.lecun_normal(),
-                (kernel, in_dim, dim),
+        for i, (dim, kernel) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+            conv_ws.append(
+                self.param(
+                    f"feature_extractor.conv_layers.{i}.conv.kernel",
+                    nn.initializers.lecun_normal(),
+                    (kernel, in_dim, dim),
+                )
             )
-            x = strided_conv1d_valid(x, w.astype(dtype), stride)
             in_dim = dim
             if i == 0:
-                # GroupNorm(groups=channels): per-channel norm over time
-                # (HF WavLMGroupNormConvLayer; torch GroupNorm eps=1e-5).
-                mean = jnp.mean(x, axis=1, keepdims=True)
-                var = jnp.var(x, axis=1, keepdims=True)
-                x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-                scale = self.param(
-                    f"feature_extractor.conv_layers.{i}.layer_norm.scale",
+                gn_scale = self.param(
+                    "feature_extractor.conv_layers.0.layer_norm.scale",
                     nn.initializers.ones,
                     (dim,),
                 )
-                bias = self.param(
-                    f"feature_extractor.conv_layers.{i}.layer_norm.bias",
+                gn_bias = self.param(
+                    "feature_extractor.conv_layers.0.layer_norm.bias",
                     nn.initializers.zeros,
                     (dim,),
                 )
-                x = x * scale.astype(dtype) + bias.astype(dtype)
-            x = gelu_erf(x)
+
+        fused_conv = cfg.fused_conv
+        if fused_conv == "auto":
+            # Same conservative gate as fused_attention (see there).
+            fused_conv = (
+                (not train)
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+            )
+        fused_conv = fused_conv and all(
+            k <= 2 * s
+            for k, s in zip(cfg.conv_kernel[1:], cfg.conv_stride[1:])
+        )
+
+        if fused_conv:
+            # Fused Pallas chain: each layer's GELU is applied by the NEXT
+            # layer's kernel on tile load; padding rows flow through the
+            # stack (physical row counts divide by every later stride) so no
+            # intermediate pad/slice copies happen.  Eval path; the modular
+            # branch below is the train/CPU path.
+            from multimodalemotionrecognition_tpu.ops.pallas_conv_fe import (
+                fused_conv_layer,
+            )
+
+            interp = cfg.fused_conv == "interpret"
+            b, t_samples = input_values.shape
+            k0, s0 = cfg.conv_kernel[0], cfg.conv_stride[0]
+            t_log = (t_samples - k0) // s0 + 1
+            prod_s = 1
+            for s in cfg.conv_stride[1:]:
+                prod_s *= s
+            phys = -(-t_log // prod_s) * prod_s
+            wav_len = (phys - 1) * s0 + k0
+            # Compute dtype from the start: without this cast the whole conv
+            # chain silently runs in the waveform's f32 (2x DMA, ~4 ms/fwd).
+            x = input_values.astype(dtype)[..., None]
+            if wav_len > t_samples:
+                x = jnp.pad(x, ((0, 0), (0, wav_len - t_samples), (0, 0)))
+            else:
+                x = x[:, :wav_len]
+            x = strided_conv1d_valid(x, conv_ws[0].astype(dtype), s0)
+            # GroupNorm stats over LOGICAL rows only (padding excluded);
+            # f32 accumulation (bf16 sums drift over ~10k timesteps).
+            xl = x[:, :t_log].astype(jnp.float32)
+            mean = jnp.mean(xl, axis=1, keepdims=True)
+            var = jnp.var(xl, axis=1, keepdims=True)
+            x = (x - mean.astype(dtype)) * jax.lax.rsqrt(var + 1e-5).astype(dtype)
+            x = x * gn_scale.astype(dtype) + gn_bias.astype(dtype)
+            in_dim = cfg.conv_dim[0]
+            for i in range(1, len(cfg.conv_dim)):
+                k_i = cfg.conv_kernel[i]
+                s_i = cfg.conv_stride[i]
+                d_i = cfg.conv_dim[i]
+                y = x.reshape(b, x.shape[1] // s_i, s_i * in_dim)
+                w_flat = conv_ws[i].astype(dtype).reshape(k_i * in_dim, d_i)
+                x = fused_conv_layer(
+                    y, w_flat, k=k_i, stride=s_i, cin=in_dim,
+                    gelu_input=True, interpret=interp,
+                )
+                t_log = (t_log - k_i) // s_i + 1
+                in_dim = d_i
+            x = gelu_erf(x[:, :t_log])
+        else:
+            x = input_values.astype(dtype)[..., None]  # [B, T, 1]
+            for i, (dim, stride, kernel) in enumerate(
+                zip(cfg.conv_dim, cfg.conv_stride, cfg.conv_kernel)
+            ):
+                x = strided_conv1d_valid(x, conv_ws[i].astype(dtype), stride)
+                if i == 0:
+                    # GroupNorm(groups=channels): per-channel norm over time
+                    # (HF WavLMGroupNormConvLayer; torch GroupNorm eps=1e-5).
+                    # f32 stats: bf16 sums drift over ~10k timesteps.
+                    xf = x.astype(jnp.float32)
+                    mean = jnp.mean(xf, axis=1, keepdims=True)
+                    var = jnp.var(xf, axis=1, keepdims=True)
+                    x = (x - mean.astype(dtype)) * jax.lax.rsqrt(
+                        var + 1e-5
+                    ).astype(dtype)
+                    x = x * gn_scale.astype(dtype) + gn_bias.astype(dtype)
+                x = gelu_erf(x)
 
         # --- feature projection ---
         x = nn.LayerNorm(
@@ -277,6 +444,16 @@ class WavLMModel(nn.Module):
         )(x)
         x = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(x)
 
+        # Fused eval path: pad the sequence ONCE to a sublane multiple and
+        # run every layer at the padded length (the kernels mask padded
+        # keys; garbage query rows are sliced off after the stack).  This
+        # keeps all per-layer pad/unpad copies out of the graph.
+        t_logical = x.shape[1]
+        fused_attn = _resolve_fused(cfg.fused_attention, train)
+        if fused_attn and t_logical % 16 != 0:
+            tp_len = -(-t_logical // 16) * 16
+            x = jnp.pad(x, ((0, 0), (0, tp_len - t_logical), (0, 0)))
+
         position_bias = None
         for i in range(cfg.num_hidden_layers):
             x, position_bias = WavLMEncoderLayer(
@@ -284,7 +461,9 @@ class WavLMModel(nn.Module):
                 has_relative_position_bias=(i == 0),
                 dtype=dtype,
                 name=f"encoder.layers.{i}",
-            )(x, position_bias, train=train)
+            )(x, position_bias, train=train, seq_len=t_logical)
+        if x.shape[1] != t_logical:
+            x = x[:, :t_logical]
         return x
 
     def _mask_time(self, x: jnp.ndarray, mask_embed: jnp.ndarray) -> jnp.ndarray:
