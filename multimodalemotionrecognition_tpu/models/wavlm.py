@@ -377,6 +377,9 @@ class WavLMModel(nn.Module):
             var = jnp.var(xl, axis=1, keepdims=True)
             x = (x - mean.astype(dtype)) * jax.lax.rsqrt(var + 1e-5).astype(dtype)
             x = x * gn_scale.astype(dtype) + gn_bias.astype(dtype)
+            # L0's GELU fuses into the GN elementwise chain (one XLA pass);
+            # every later layer's GELU runs in its own kernel's epilogue.
+            x = gelu_erf(x)
             in_dim = cfg.conv_dim[0]
             for i in range(1, len(cfg.conv_dim)):
                 k_i = cfg.conv_kernel[i]
@@ -386,11 +389,11 @@ class WavLMModel(nn.Module):
                 w_flat = conv_ws[i].astype(dtype).reshape(k_i * in_dim, d_i)
                 x = fused_conv_layer(
                     y, w_flat, k=k_i, stride=s_i, cin=in_dim,
-                    gelu_input=True, interpret=interp,
+                    gelu_output=True, interpret=interp,
                 )
                 t_log = (t_log - k_i) // s_i + 1
                 in_dim = d_i
-            x = gelu_erf(x[:, :t_log])
+            x = x[:, :t_log]
         else:
             x = input_values.astype(dtype)[..., None]  # [B, T, 1]
             for i, (dim, stride, kernel) in enumerate(

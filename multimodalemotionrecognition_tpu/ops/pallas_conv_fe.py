@@ -43,7 +43,9 @@ __all__ = ["fused_conv_layer"]
 _HALO_ROWS = 16
 
 
-def _conv_kernel(k, stride, cin, gelu_input, y_ref, halo_ref, w_ref, o_ref):
+def _conv_kernel(
+    k, stride, cin, gelu_input, gelu_output, y_ref, halo_ref, w_ref, o_ref
+):
     y = y_ref[0]  # [tt, s*cin]
     if gelu_input:
         y = gelu_erf(y)
@@ -62,6 +64,11 @@ def _conv_kernel(k, stride, cin, gelu_input, y_ref, halo_ref, w_ref, o_ref):
             w[s_cin:],
             preferred_element_type=jnp.float32,
         )
+    if gelu_output:
+        # GELU on the f32 accumulator: half the elements of the input-side
+        # variant and no bf16<->f32 converts (the kernel is VPU-bound with
+        # the GELU serialized against the MXU, so this is the cheap side).
+        acc = gelu_erf(acc)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -80,7 +87,9 @@ def _pick_tile(rows: int, target: int = 640) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "stride", "cin", "gelu_input", "interpret")
+    jax.jit,
+    static_argnames=("k", "stride", "cin", "gelu_input", "gelu_output",
+                     "interpret"),
 )
 def fused_conv_layer(
     y: jnp.ndarray,  # [B, rows, stride*cin] — stride-reshaped input
@@ -89,14 +98,17 @@ def fused_conv_layer(
     stride: int,
     cin: int,
     gelu_input: bool = False,
+    gelu_output: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """-> raw conv output [B, rows, cout] (same dtype as y).
+    """-> conv output [B, rows, cout] (same dtype as y).
 
     Rows at or beyond the layer's logical t_out contain garbage (they mix
-    zero padding / clamped halo); callers track logical lengths.  When
-    gelu_input is set the exact-erf GELU is applied to input tiles in VMEM
-    before the matmuls (this is the previous layer's activation).
+    zero padding / clamped halo); callers track logical lengths.
+    gelu_input applies the exact-erf GELU to input tiles in VMEM before the
+    matmuls (the PREVIOUS layer's activation); gelu_output applies it to
+    the f32 accumulator before the write (THIS layer's activation — the
+    cheap side: half the elements and no bf16<->f32 converts).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -137,7 +149,7 @@ def fused_conv_layer(
     )
 
     return pl.pallas_call(
-        functools.partial(_conv_kernel, k, stride, cin, gelu_input),
+        functools.partial(_conv_kernel, k, stride, cin, gelu_input, gelu_output),
         grid=(b, ntc),
         in_specs=[y_spec, halo_spec, w_spec],
         out_specs=pl.BlockSpec(

@@ -154,6 +154,31 @@ class TestFusedConvFE:
             np.asarray(got[:, :t_out]), np.asarray(want), atol=1e-5
         )
 
+    def test_op_gelu_output_epilogue(self):
+        """gelu_output=True == gelu(conv(x)) on the valid rows."""
+        from multimodalemotionrecognition_tpu.ops.audio_conv import (
+            strided_conv1d_valid,
+        )
+        from multimodalemotionrecognition_tpu.ops.activations import gelu_erf
+        from multimodalemotionrecognition_tpu.ops.pallas_conv_fe import (
+            fused_conv_layer,
+        )
+
+        rng = np.random.RandomState(7)
+        b, t, cin, cout, k, s = 2, 96, 16, 24, 3, 2
+        x = jnp.asarray(rng.randn(b, t, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) * 0.1)
+        want = gelu_erf(strided_conv1d_valid(x, w, s))
+        t_out = (t - k) // s + 1
+        y = x.reshape(b, t // s, s * cin)
+        got = fused_conv_layer(
+            y, w.reshape(k * cin, cout), k=k, stride=s, cin=cin,
+            gelu_output=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, :t_out]), np.asarray(want), atol=1e-5
+        )
+
     def test_fused_conv_model_matches_modular(self):
         cfg_mod = WavLMConfig(**SMALL, fused_attention=False, fused_conv=False)
         cfg_fused = WavLMConfig(
