@@ -27,7 +27,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
+def bench_step(
+    batch: int, use_wavlm: bool, iters: int = 10, dtype: str = "float32"
+) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +37,9 @@ def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
     from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
     from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
 
-    cfg = ModelConfig(fusion="xattn", use_wavlm=use_wavlm, num_classes=8)
+    cfg = ModelConfig(
+        fusion="xattn", use_wavlm=use_wavlm, num_classes=8, compute_dtype=dtype
+    )
     tc = TrainConfig(lr=1e-3)
     trainer = EmotionTrainer(cfg, tc)
     state = trainer.init_state()
@@ -66,7 +70,10 @@ def bench_step(batch: int, use_wavlm: bool, iters: int = 10) -> None:
     print(
         json.dumps(
             {
-                "metric": f"train_step_xattn{'_wavlm' if use_wavlm else ''}_b{batch}",
+                "metric": (
+                    f"train_step_xattn{'_wavlm' if use_wavlm else ''}"
+                    f"_b{batch}_{dtype}"
+                ),
                 "value": round(dt * 1000, 1),
                 "unit": "ms_per_step",
                 "clips_per_sec": round(clips_per_sec, 1),
@@ -143,9 +150,13 @@ def main() -> None:
     p.add_argument("--wavlm", action="store_true", default=True)
     p.add_argument("--no-wavlm", dest="wavlm", action="store_false")
     p.add_argument("--epochs", type=int, default=6)
+    p.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default="float32",
+        help="model compute dtype (params/optimizer stay f32 — mixed precision)",
+    )
     args = p.parse_args()
     if args.mode == "step":
-        bench_step(args.batch, args.wavlm)
+        bench_step(args.batch, args.wavlm, dtype=args.dtype)
     else:
         bench_converge(args.epochs)
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -99,8 +100,12 @@ def _resolve_fused(flag, train: bool) -> bool:
     """Resolve a fused-kernel config flag.  "auto" enables the kernel only
     for single-device TPU eval (a pallas_call inside a sharded jit is not
     automatically partitioned; multi-chip users opt in explicitly with
-    flag=True under shard_map)."""
+    flag=True under shard_map).  The EMO_FUSED_WAVLM env var (0/1) overrides
+    "auto" either way — an operational escape hatch."""
     if flag == "auto":
+        env = os.environ.get("EMO_FUSED_WAVLM")
+        if env is not None:
+            return env == "1" and not train
         return (
             (not train)
             and jax.default_backend() == "tpu"
@@ -332,12 +337,9 @@ class WavLMModel(nn.Module):
 
         fused_conv = cfg.fused_conv
         if fused_conv == "auto":
-            # Same conservative gate as fused_attention (see there).
-            fused_conv = (
-                (not train)
-                and jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-            )
+            # Same conservative gate as fused_attention (see there),
+            # including the EMO_FUSED_WAVLM override.
+            fused_conv = _resolve_fused("auto", train)
         fused_conv = fused_conv and all(
             k <= 2 * s
             for k, s in zip(cfg.conv_kernel[1:], cfg.conv_stride[1:])
