@@ -32,6 +32,7 @@ __all__ = [
     "FaceDetector",
     "HeuristicFaceDetector",
     "BlazeFaceDetector",
+    "BUNDLED_BLAZEFACE_WEIGHTS",
     "crop_with_padding",
     "padded_crop_rect",
     "get_face_detector",
@@ -39,6 +40,12 @@ __all__ = [
 ]
 
 Bbox = Tuple[int, int, int, int]  # x, y, w, h in pixels
+
+# Synthetically pretrained short-range BlazeFace (tools/train_blazeface_synth.py):
+# held-out synthetic scenes -> 100% detection, mean IoU 0.92 (heuristic: 0.77).
+BUNDLED_BLAZEFACE_WEIGHTS = (
+    Path(__file__).resolve().parent.parent / "assets" / "blazeface_synth.npz"
+)
 
 
 class FaceDetector(Protocol):
@@ -232,13 +239,18 @@ def get_face_detector() -> Optional[FaceDetector]:
     has the same benign-race singleton; here it is lock-guarded).
 
     `EMO_BLAZEFACE_WEIGHTS=<path.npz>` selects the learned detector at deploy
-    time; otherwise the dependency-free heuristic is used."""
+    time; the special value ``bundled`` selects the checked-in synthetically
+    pretrained weights (`tools/train_blazeface_synth.py`). Otherwise the
+    dependency-free heuristic is used — it is validated on real skin chroma,
+    while the bundled net has only synthetic-scene validation."""
     global _detector, _detector_initialized
     with _detector_lock:
         if not _detector_initialized:
             import os
 
             weights = os.environ.get("EMO_BLAZEFACE_WEIGHTS", "")
+            if weights == "bundled":
+                weights = str(BUNDLED_BLAZEFACE_WEIGHTS)
             if weights and Path(weights).exists():
                 _detector = BlazeFaceDetector(weights)
             else:

@@ -36,6 +36,7 @@ __all__ = [
     "BLAZEFACE_INPUT_SIZE",
     "generate_anchors",
     "blazeface_forward",
+    "blazeface_forward_logits",
     "decode_boxes_np",
     "weighted_nms_np",
     "random_blazeface_state_dict",
@@ -174,12 +175,11 @@ def load_params(state_dict: Dict[str, np.ndarray]) -> Dict[str, object]:
     return params
 
 
-def blazeface_forward(params: Dict[str, object], x):
-    """x: (N, 128, 128, 3) in [-1, 1] -> (raw_boxes (N,896,16), scores (N,896)).
+def blazeface_forward_logits(params: Dict[str, object], x):
+    """x: (N, 128, 128, 3) in [-1, 1] -> (raw_boxes (N,896,16), logits (N,896)).
 
-    Scores are already sigmoid(clip(logit, ±100)) per MediaPipe's
-    tensors-to-detections calculator.
-    """
+    The pre-sigmoid head outputs — what SSD training losses consume
+    (`data/synthface.py` targets, `tools/train_blazeface_synth.py`)."""
     import jax.nn as jnn
     import jax.numpy as jnp
 
@@ -204,8 +204,20 @@ def blazeface_forward(params: Dict[str, object], x):
     raw_boxes = jnp.concatenate(
         [r1.reshape(n, -1, 16), r2.reshape(n, -1, 16)], axis=1
     )  # (N, 896, 16)
-    scores = jnn.sigmoid(jnp.clip(scores, -100.0, 100.0))
     return raw_boxes, scores
+
+
+def blazeface_forward(params: Dict[str, object], x):
+    """x: (N, 128, 128, 3) in [-1, 1] -> (raw_boxes (N,896,16), scores (N,896)).
+
+    Scores are already sigmoid(clip(logit, ±100)) per MediaPipe's
+    tensors-to-detections calculator.
+    """
+    import jax.nn as jnn
+    import jax.numpy as jnp
+
+    raw_boxes, logits = blazeface_forward_logits(params, x)
+    return raw_boxes, jnn.sigmoid(jnp.clip(logits, -100.0, 100.0))
 
 
 def decode_boxes_np(
@@ -257,6 +269,7 @@ def weighted_nms_np(
     b, s = boxes[keep], scores[keep]
     top = int(np.argmax(s))
     sel = _iou_np(b[top], b) >= iou_threshold
+    sel[top] = True  # a degenerate top box has IoU 0 even with itself
     w = s[sel][:, None]
     blended = (b[sel] * w).sum(axis=0) / w.sum()
     return blended.astype(np.float32), float(s[top])

@@ -183,6 +183,106 @@ def _face_scene(h=240, w=320, face=(110, 60, 100, 130)):
     return img, face
 
 
+class TestSynthFace:
+    """Procedural training scenes + SSD anchor targets (`data/synthface.py`)
+    that pretrain the bundled detector in place of MediaPipe's weights."""
+
+    def test_scene_deterministic_and_valid(self):
+        from multimodalemotionrecognition_tpu.data import synthface as sf
+
+        img1, bbox1 = sf.make_scene(np.random.default_rng(7))
+        img2, bbox2 = sf.make_scene(np.random.default_rng(7))
+        np.testing.assert_array_equal(img1, img2)
+        assert bbox1 == bbox2
+        assert img1.dtype == np.uint8 and img1.shape == (128, 128, 3)
+        if bbox1 is not None:
+            x, y, w, h = bbox1
+            assert 0 <= x and 0 <= y and x + w <= 128 and y + h <= 128
+
+    def test_anchor_targets_roundtrip_through_decode(self):
+        """Positive-anchor raw targets must decode back to the ground-truth
+        box through the SAME decode path the detector uses — guarantees a
+        model trained on these targets is consistent with MediaPipe decode."""
+        from multimodalemotionrecognition_tpu.data import synthface as sf
+
+        bbox = (32, 40, 48, 60)
+        cls, box = sf.anchor_targets(bbox)
+        assert cls.sum() >= 2  # at least one positive per feature map
+        assert cls[:512].sum() >= 1 and cls[512:].sum() >= 1
+        raw = np.zeros((896, 16), np.float32)
+        raw[:, :4] = box
+        decoded = bf.decode_boxes_np(raw, bf.generate_anchors())
+        x, y, w, h = bbox
+        expect = np.array([y / 128, x / 128, (y + h) / 128, (x + w) / 128])
+        pos = cls > 0
+        np.testing.assert_allclose(decoded[pos], expect[None, :].repeat(pos.sum(), 0), atol=1e-6)
+
+    def test_no_face_targets_zero(self):
+        from multimodalemotionrecognition_tpu.data import synthface as sf
+
+        cls, box = sf.anchor_targets(None)
+        assert cls.sum() == 0 and np.abs(box).sum() == 0
+
+
+_SYNTH_WEIGHTS = (
+    __import__("pathlib").Path(__file__).resolve().parents[1]
+    / "multimodalemotionrecognition_tpu"
+    / "assets"
+    / "blazeface_synth.npz"
+)
+
+
+@pytest.mark.skipif(not _SYNTH_WEIGHTS.exists(), reason="bundled weights absent")
+class TestBundledSynthWeights:
+    """The checked-in synthetically pretrained detector must actually detect:
+    held-out scenes, full pipeline (resize -> forward -> decode -> NMS)."""
+
+    def test_detects_held_out_scenes(self):
+        from multimodalemotionrecognition_tpu.data import synthface as sf
+
+        det = BlazeFaceDetector(_SYNTH_WEIGHTS)
+        rng = np.random.default_rng(4242)  # disjoint from training seeds
+        ious, n_faces, n_det = [], 0, 0
+        for _ in range(24):
+            img, truth = sf.make_scene(rng, p_face=1.0)
+            n_faces += 1
+            got = det.detect_face_bbox(img)
+            if got is not None:
+                n_det += 1
+                ious.append(bbox_iou(got, truth))
+        assert n_det / n_faces >= 0.8
+        assert np.mean(ious) >= 0.5
+
+    def test_env_bundled_selects_learned_detector(self, monkeypatch):
+        from multimodalemotionrecognition_tpu.data import face as face_mod
+
+        monkeypatch.setenv("EMO_BLAZEFACE_WEIGHTS", "bundled")
+        face_mod.set_face_detector(None)
+        face_mod._detector_initialized = False
+        try:
+            det = face_mod.get_face_detector()
+            assert isinstance(det, BlazeFaceDetector)
+            assert det._fn is not None
+        finally:
+            face_mod._detector_initialized = False
+
+    def test_beats_heuristic_on_skin_distractors(self):
+        """Scenes seeded with skin-colored distractor blobs: the learned
+        detector must localize at least as well as chroma gating on average."""
+        from multimodalemotionrecognition_tpu.data import synthface as sf
+
+        det = BlazeFaceDetector(_SYNTH_WEIGHTS)
+        heur = HeuristicFaceDetector()
+        rng = np.random.default_rng(31337)
+        d_iou, h_iou = [], []
+        for _ in range(24):
+            img, truth = sf.make_scene(rng, p_face=1.0)
+            got, hgot = det.detect_face_bbox(img), heur.detect_face_bbox(img)
+            d_iou.append(bbox_iou(got, truth) if got else 0.0)
+            h_iou.append(bbox_iou(hgot, truth) if hgot else 0.0)
+        assert np.mean(d_iou) >= np.mean(h_iou) - 0.05
+
+
 class TestBboxParityHarness:
     """Quantifies crop parity across detector sources (VERDICT r1 item 3):
     heuristic vs ground truth, and the injected-bbox path the parity harness
