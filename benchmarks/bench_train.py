@@ -28,7 +28,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def bench_step(
-    batch: int, use_wavlm: bool, iters: int = 10, dtype: str = "float32"
+    batch: int,
+    use_wavlm: bool,
+    iters: int = 10,
+    dtype: str = "float32",
+    two_stage: bool = False,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -40,11 +44,19 @@ def bench_step(
     cfg = ModelConfig(
         fusion="xattn", use_wavlm=use_wavlm, num_classes=8, compute_dtype=dtype
     )
-    tc = TrainConfig(lr=1e-3)
+    # Two-stage mode benches the stage-2 step of a two-stage run: the jitted
+    # step then stop-gradients everything frozen in both stages (conv FE,
+    # WavLM layers 0..9, video conv1/layer1-3 at the defaults), so the
+    # frozen backward is never emitted — the reference's actual finetune
+    # regime, vs the from-scratch all-trainable step.
+    tc = TrainConfig(
+        lr=1e-3, two_stage_training=two_stage, epochs=10, stage1_epochs=3
+    )
+    stage = 2 if two_stage else 0
     trainer = EmotionTrainer(cfg, tc)
     state = trainer.init_state()
-    mask = trainable_mask(state.params, cfg, tc, stage=0)
-    lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+    mask = trainable_mask(state.params, cfg, tc, stage=stage)
+    lrs = lr_tree(state.params, cfg, tc, stage=stage, scale={})
 
     rng = np.random.RandomState(0)
     video = jnp.asarray(rng.randn(batch, 8, 3, 112, 112).astype(np.float32))
@@ -72,7 +84,7 @@ def bench_step(
             {
                 "metric": (
                     f"train_step_xattn{'_wavlm' if use_wavlm else ''}"
-                    f"_b{batch}_{dtype}"
+                    f"_b{batch}_{dtype}{'_stage2' if two_stage else ''}"
                 ),
                 "value": round(dt * 1000, 1),
                 "unit": "ms_per_step",
@@ -154,9 +166,13 @@ def main() -> None:
         "--dtype", choices=["float32", "bfloat16"], default="float32",
         help="model compute dtype (params/optimizer stay f32 — mixed precision)",
     )
+    p.add_argument(
+        "--two-stage", action="store_true",
+        help="bench the stage-2 step of a two-stage run (static AD scope)",
+    )
     args = p.parse_args()
     if args.mode == "step":
-        bench_step(args.batch, args.wavlm, dtype=args.dtype)
+        bench_step(args.batch, args.wavlm, dtype=args.dtype, two_stage=args.two_stage)
     else:
         bench_converge(args.epochs)
 

@@ -172,7 +172,34 @@ class EmotionTrainer:
             }
             audio = self._audio_features(audio_wav)
 
+            # Static AD scope: leaves frozen in EVERY stage this run can use
+            # (e.g. two-stage flagship: WavLM conv FE + encoder layers 0..9 +
+            # video conv1/layer1-3) never need gradients — `stop_gradient`
+            # turns their cotangents into symbolic zeros at trace time, so
+            # the whole frozen backward is never emitted.  Numerically
+            # identical to the runtime `mask` multiply (exact zeros either
+            # way); the mask stays as data so the stage flip still runs in
+            # one executable.
+            stages = (
+                (1, 2)
+                if (self.tc.two_stage_training and not self.is_single_modality)
+                else (0,)
+            )
+            ever_trainable = None
+            for s in stages:
+                m = trainable_mask(state.params, self.mc, self.tc, s)
+                ever_trainable = (
+                    m
+                    if ever_trainable is None
+                    else jax.tree_util.tree_map(max, ever_trainable, m)
+                )
+
             def forward(params, video, audio):
+                params = jax.tree_util.tree_map(
+                    lambda p, t: p if t > 0 else jax.lax.stop_gradient(p),
+                    params,
+                    ever_trainable,
+                )
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 return self._apply(variables, video, audio, True, rngs, mutable=True)
 

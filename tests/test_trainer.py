@@ -454,6 +454,51 @@ class TestDistributedCorrectness:
         np.testing.assert_allclose(outs["tp2"], outs["tp1"], atol=1e-5, rtol=1e-5)
 
 
+class TestStaticAdScope:
+    """The two-stage train step stop-gradients params frozen in BOTH stages
+    (trace-time AD scoping that skips the frozen backward).  Must be
+    numerically identical to computing full grads and masking after — same
+    step, same mask/lrs, trainer with vs without the static scope."""
+
+    def test_stage2_step_matches_unscoped(self):
+        cfg = _small_model_cfg(
+            "xattn", xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0
+        )
+        kw = dict(
+            lr=1e-3,
+            fusion_unfreeze_video_blocks=1,
+            fusion_unfreeze_audio=True,
+            donate_buffers=False,
+        )
+        tc_scoped = TrainConfig(
+            two_stage_training=True, epochs=2, stage1_epochs=1, **kw
+        )
+        tc_full = TrainConfig(two_stage_training=False, **kw)  # stages=(0,): no scope
+
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video),
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.valid),
+        )
+        results = []
+        for tc in (tc_scoped, tc_full):
+            trainer = EmotionTrainer(cfg, tc)
+            state = trainer.init_state()
+            # identical stage-2 policy data for both trainers
+            mask = trainable_mask(state.params, cfg, tc_scoped, stage=2)
+            lrs = lr_tree(state.params, cfg, tc_scoped, stage=2, scale={})
+            for _ in range(2):
+                state, *_ = trainer._train_step(state, *args, mask, lrs)
+            results.append(flatten_dict(jax.device_get(state.params)))
+        a, b = results
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-7, err_msg=str(k)
+            )
+
+
 class TestStageFlipNoRecompile:
     """The stage-1->2 optimizer rebuild happens INSIDE the jitted step via
     the reset_opt flag (round 1 re-initialized opt_state eagerly, which cost
