@@ -81,6 +81,13 @@ class ModelConfig:
     # `src/models/wavlm_audio.py:30-41`).  Saved additively in the checkpoint
     # config so non-base WavLM checkpoints reconstruct without flags.
     wavlm_geometry: Optional[Dict[str, Any]] = None
+    # Train-path fused kernels for the frozen WavLM prefix (set by the
+    # trainer from the freeze policy — see train/freeze.py::
+    # wavlm_frozen_prefix; NOT part of the checkpoint config: it describes a
+    # training run, not the architecture).  wavlm_geometry keys of the same
+    # name take precedence (explicit test/user control).
+    wavlm_fused_train_layers: int = 0
+    wavlm_fused_train_conv: bool = False
     spec_augment: bool = True
     # Compute dtype for the forward pass ("float32" | "bfloat16"). Params stay fp32.
     compute_dtype: str = "float32"

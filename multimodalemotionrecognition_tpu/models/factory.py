@@ -53,8 +53,12 @@ def build_audio_encoder(config: ModelConfig) -> nn.Module:
             WavLMConfig,
         )
 
-        geometry = config.wavlm_geometry or {}
-        wavlm_config = WavLMConfig(**geometry) if geometry else WavLMConfig()
+        geometry = dict(config.wavlm_geometry or {})
+        geometry.setdefault(
+            "fused_train_layers", config.wavlm_fused_train_layers
+        )
+        geometry.setdefault("fused_train_conv", config.wavlm_fused_train_conv)
+        wavlm_config = WavLMConfig(**geometry)
         return WavLMAudioEncoder(
             num_classes=config.num_classes,
             # reference classifier MLP is hidden -> hidden (wavlm_audio.py:50)

@@ -69,6 +69,17 @@ class WavLMConfig:
     # Eval-path conv feature extractor: fused Pallas conv+GELU chain
     # (ops/pallas_conv_fe.py) for the wide-K layers; same flag semantics.
     fused_conv: object = "auto"
+    # Train-path fused kernels for the FROZEN prefix.  The kernels have no
+    # VJP, so these may only name components whose params are stop-gradient'd
+    # in every stage of the run (the trainer derives them from the freeze
+    # policy via train/freeze.py::wavlm_frozen_prefix).  fused_train_layers:
+    # leading encoder layers allowed to run the fused attention sublayer
+    # (with in-kernel dropout) during training; fused_train_conv: allow the
+    # fused conv chain during training (it has no dropout, so it is exactly
+    # the eval math).  Both still honor the fused_attention/fused_conv
+    # platform gates above.
+    fused_train_layers: int = 0
+    fused_train_conv: bool = False
 
 
 def _relative_position_buckets(
@@ -238,6 +249,7 @@ class WavLMEncoderLayer(nn.Module):
         position_bias: Optional[jnp.ndarray],
         train: bool = False,
         seq_len: Optional[int] = None,
+        fused: Optional[bool] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = self.dtype or hidden_states.dtype
@@ -247,7 +259,9 @@ class WavLMEncoderLayer(nn.Module):
             dtype=dtype,
             name="attention",
         )
-        if _resolve_fused(cfg.fused_attention, train):
+        if fused is None:  # standalone use; WavLMModel passes it explicitly
+            fused = _resolve_fused(cfg.fused_attention, train)
+        if fused:
             from multimodalemotionrecognition_tpu.ops.pallas_wavlm_attn import (
                 wavlm_fused_attention_sublayer,
             )
@@ -259,11 +273,25 @@ class WavLMEncoderLayer(nn.Module):
             qn, kn, vn, gate_f, wo, bo = parts
             lns, lnb = _LayerNormParamsOnly(e, name="layer_norm")()
             bias2d = position_bias.astype(jnp.float32).reshape(-1, tp)
+            # Frozen-prefix training: the two dropout sites of the modular
+            # sublayer (attention probs, projected output) run in-kernel.
+            attn_p = cfg.attention_dropout if train else 0.0
+            hid_p = cfg.hidden_dropout if train else 0.0
+            if train and (attn_p > 0.0 or hid_p > 0.0):
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = None
             hidden_states = wavlm_fused_attention_sublayer(
                 hidden_states, qn, kn, vn, gate_f, bias2d, wo, bo, lns, lnb,
                 num_heads=cfg.num_attention_heads,
                 seq_len=seq_len if seq_len is not None else tp,
                 eps=cfg.layer_norm_eps,
+                attn_dropout=attn_p,
+                hidden_dropout=hid_p,
+                dropout_seed=seed,
                 interpret=(cfg.fused_attention == "interpret"),
             )
         else:
@@ -336,10 +364,17 @@ class WavLMModel(nn.Module):
                 )
 
         fused_conv = cfg.fused_conv
-        if fused_conv == "auto":
+        if train and not cfg.fused_train_conv:
+            # The conv kernels have no VJP: during training they require the
+            # chain to be declared frozen (fused_train_conv, set by the
+            # trainer from the freeze policy).
+            fused_conv = False
+        elif fused_conv == "auto":
             # Same conservative gate as fused_attention (see there),
-            # including the EMO_FUSED_WAVLM override.
-            fused_conv = _resolve_fused("auto", train)
+            # including the EMO_FUSED_WAVLM override.  train-ness does not
+            # enter the gate here: the chain is deterministic (no dropout),
+            # so frozen-prefix training runs exactly the eval math.
+            fused_conv = _resolve_fused("auto", False)
         fused_conv = fused_conv and all(
             k <= 2 * s
             for k, s in zip(cfg.conv_kernel[1:], cfg.conv_stride[1:])
@@ -449,24 +484,39 @@ class WavLMModel(nn.Module):
         )(x)
         x = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(x)
 
-        # Fused eval path: pad the sequence ONCE to a sublane multiple and
-        # run every layer at the padded length (the kernels mask padded
-        # keys; garbage query rows are sliced off after the stack).  This
-        # keeps all per-layer pad/unpad copies out of the graph.
+        # Fused path: pad the sequence ONCE to a sublane multiple and run
+        # every fused layer at the padded length (the kernels mask padded
+        # keys; garbage query rows are sliced off after the fused span).
+        # Eval fuses the whole stack; training fuses only the frozen prefix
+        # (fused_train_layers) and slices back to the logical length at the
+        # prefix -> modular transition (the modular attention has no key
+        # masking, so it must see the unpadded sequence).
         t_logical = x.shape[1]
-        fused_attn = _resolve_fused(cfg.fused_attention, train)
-        if fused_attn and t_logical % 16 != 0:
+        if _resolve_fused(cfg.fused_attention, False):
+            n_fused = (
+                min(max(0, cfg.fused_train_layers), cfg.num_hidden_layers)
+                if train
+                else cfg.num_hidden_layers
+            )
+        else:
+            n_fused = 0
+        if n_fused > 0 and t_logical % 16 != 0:
             tp_len = -(-t_logical // 16) * 16
             x = jnp.pad(x, ((0, 0), (0, tp_len - t_logical), (0, 0)))
 
         position_bias = None
         for i in range(cfg.num_hidden_layers):
+            fused_i = i < n_fused
+            if not fused_i and x.shape[1] != t_logical:
+                x = x[:, :t_logical]
+                if position_bias is not None:
+                    position_bias = position_bias[:, :t_logical, :t_logical]
             x, position_bias = WavLMEncoderLayer(
                 config=cfg,
                 has_relative_position_bias=(i == 0),
                 dtype=dtype,
                 name=f"encoder.layers.{i}",
-            )(x, position_bias, train=train, seq_len=t_logical)
+            )(x, position_bias, train=train, seq_len=t_logical, fused=fused_i)
         if x.shape[1] != t_logical:
             x = x[:, :t_logical]
         return x

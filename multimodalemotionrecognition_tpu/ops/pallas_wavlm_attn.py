@@ -28,13 +28,23 @@ has a constant index map so Pallas keeps it VMEM-resident across the grid.
 Sequence padding (149 -> 160) is applied ONCE around the whole encoder
 stack by `models/wavlm.py`, not per layer.
 
-Eval-path semantics (no attention/hidden dropout).  The training step keeps
-the modular Flax graph.
+Train-path semantics: the kernel optionally applies attention dropout (on
+the softmax probabilities) and hidden dropout (on the projected attention
+output, before the residual) in-kernel, using a counter-based hash RNG
+(murmur-style finalizer over element indices — `pltpu.prng_*` has no
+interpret-mode lowering, and a stateless hash is bit-identical between
+Mosaic and the CPU interpreter, so dropout tests run off-TPU).  This makes
+the kernel usable inside the train step for layers whose params are frozen
+in every stage (stop-gradient'd end-to-end -> no VJP is ever requested);
+`models/wavlm.py` gates that via `WavLMConfig.fused_train_layers`.  The
+dropout RNG is behaviorally (not bitwise) equivalent to the modular path's
+threefry `nn.Dropout` — the reference semantics only fix the distribution.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +53,30 @@ from jax import lax
 __all__ = ["wavlm_fused_attention_sublayer"]
 
 
+def _hash_keep(base: jnp.ndarray, shape, threshold: int) -> jnp.ndarray:
+    """Stateless per-element keep mask: murmur3-style finalizer over
+    (element index ^ base).  base is a traced uint32 scalar; threshold is a
+    static uint32 cut (keep probability = 1 - threshold / 2**32)."""
+    r = lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(shape[1]) + c) ^ base
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(threshold)
+
+
+def _drop_threshold(rate: float) -> int:
+    """Static uint32 threshold for a drop probability `rate`."""
+    return min(int(round(rate * 2.0**32)), 2**32 - 1)
+
+
 def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
-                     h_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
+                     attn_dropout: float, hidden_dropout: float,
+                     seed_ref, h_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
                      wo_ref, bo_ref, lns_ref, lnb_ref, o_ref):
+    from jax.experimental import pallas as pl
+
     e = h_ref.shape[-1]
     dh = e // num_heads
     hidden = h_ref[0]  # [Tp, E]
@@ -55,6 +86,13 @@ def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
         pad_mask = col >= seq_len
     else:
         pad_mask = None
+    if attn_dropout > 0.0 or hidden_dropout > 0.0:
+        # Per-batch-element stream: mix the caller's seed with the grid index.
+        base = seed_ref[0].astype(jnp.uint32) + (
+            pl.program_id(0).astype(jnp.uint32) * jnp.uint32(0x632BE59B)
+        )
+    else:
+        base = None
     for h in range(num_heads):
         lsl = slice(h * dh, (h + 1) * dh)  # lane slice (64-aligned)
         ssl = slice(h * tp, (h + 1) * tp)  # sublane slice
@@ -72,6 +110,15 @@ def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
         if pad_mask is not None:
             scores = jnp.where(pad_mask, jnp.float32(-1e30), scores)
         probs = jax.nn.softmax(scores, axis=-1)
+        if attn_dropout > 0.0:
+            keep = _hash_keep(
+                base + jnp.uint32(((h + 1) * 0x9E3779B9) & 0xFFFFFFFF),
+                (tp, tp),
+                _drop_threshold(attn_dropout),
+            )
+            probs = jnp.where(
+                keep, probs * jnp.float32(1.0 / (1.0 - attn_dropout)), 0.0
+            )
         ctx = jnp.dot(
             probs.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -79,7 +126,17 @@ def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
             ctx.astype(v.dtype), wo_ref[lsl],
             preferred_element_type=jnp.float32,
         )
-    out = acc + bo_ref[...] + hidden.astype(jnp.float32)
+    proj = acc + bo_ref[...]
+    if hidden_dropout > 0.0:
+        keep = _hash_keep(
+            base + jnp.uint32(0x7FEB352D),
+            (tp, e),
+            _drop_threshold(hidden_dropout),
+        )
+        proj = jnp.where(
+            keep, proj * jnp.float32(1.0 / (1.0 - hidden_dropout)), 0.0
+        )
+    out = proj + hidden.astype(jnp.float32)
     mean = jnp.mean(out, axis=-1, keepdims=True)
     var = jnp.mean((out - mean) ** 2, axis=-1, keepdims=True)
     normed = (out - mean) * lax.rsqrt(var + eps)
@@ -87,7 +144,11 @@ def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "seq_len", "eps", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_heads", "seq_len", "eps", "attn_dropout", "hidden_dropout",
+        "interpret",
+    ),
 )
 def wavlm_fused_attention_sublayer(
     hidden: jnp.ndarray,  # [B, Tp, E] residual input (pre-attention)
@@ -103,12 +164,18 @@ def wavlm_fused_attention_sublayer(
     num_heads: int,
     seq_len: int,
     eps: float = 1e-5,
+    attn_dropout: float = 0.0,
+    hidden_dropout: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,  # [1] int32, required if rates > 0
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """-> LayerNorm(hidden + attention(q, k, v) @ wo + bo): [B, Tp, E], same
-    dtype as hidden.  Rows >= seq_len are garbage (their keys are masked out
-    of every softmax; as queries they only produce garbage rows the caller
-    slices off after the encoder stack)."""
+    """-> LayerNorm(hidden + dropout(attention(q, k, v) @ wo + bo)): [B, Tp, E],
+    same dtype as hidden.  Rows >= seq_len are garbage (their keys are masked
+    out of every softmax; as queries they only produce garbage rows the caller
+    slices off after the encoder stack).  attn_dropout drops softmax
+    probabilities, hidden_dropout drops the projected attention output before
+    the residual (matching the modular sublayer's two nn.Dropout sites); both
+    draw from the stateless hash RNG seeded by dropout_seed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -120,7 +187,12 @@ def wavlm_fused_attention_sublayer(
         raise ValueError(
             f"position_bias shape {position_bias.shape} != {(h * tp, tp)}"
         )
+    if (attn_dropout > 0.0 or hidden_dropout > 0.0) and dropout_seed is None:
+        raise ValueError("dropout_seed is required when dropout rates > 0")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
 
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     nat_spec = pl.BlockSpec(
         (1, tp, e), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
     )
@@ -134,14 +206,17 @@ def wavlm_fused_attention_sublayer(
     row_spec = pl.BlockSpec((1, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_sublayer_kernel, h, tp, seq_len, eps),
+        functools.partial(
+            _sublayer_kernel, h, tp, seq_len, eps, attn_dropout, hidden_dropout
+        ),
         grid=(b,),
-        in_specs=[nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
+        in_specs=[seed_spec, nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
                   bias_spec, wo_spec, row_spec, row_spec, row_spec],
         out_specs=nat_spec,
         out_shape=jax.ShapeDtypeStruct((b, tp, e), hidden.dtype),
         interpret=interpret,
     )(
+        dropout_seed.reshape(1).astype(jnp.int32),
         hidden,
         q,
         k,

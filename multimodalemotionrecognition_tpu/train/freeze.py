@@ -27,7 +27,13 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 from multimodalemotionrecognition_tpu.config import ModelConfig, TrainConfig
 
-__all__ = ["label_params", "trainable_mask", "lr_tree", "VIDEO_BACKBONE_BLOCK_ORDER"]
+__all__ = [
+    "label_params",
+    "trainable_mask",
+    "lr_tree",
+    "wavlm_frozen_prefix",
+    "VIDEO_BACKBONE_BLOCK_ORDER",
+]
 
 # Parameterized top-level children of the video backbone in reference
 # Sequential order (conv1, bn1, layer1..4) — relu/maxpool/avgpool carry no
@@ -77,6 +83,35 @@ def _wavlm_audio_trainable(path: str, unfreeze_layers: int) -> bool:
         num_layers = 12
         return layer >= num_layers - unfreeze_layers
     return False
+
+
+def wavlm_frozen_prefix(
+    model_config: ModelConfig, train_config: TrainConfig
+) -> tuple:
+    """(n_prefix_layers, conv_frozen): the WavLM components frozen in EVERY
+    stage the run can use — exactly the leaves `trainable_mask` zeroes in all
+    stages, so the train step may run them with the no-VJP fused kernels
+    (WavLMConfig.fused_train_layers / fused_train_conv).
+
+    Mirrors the mask logic above: `_wavlm_audio_trainable` unfreezes encoder
+    layers by ABSOLUTE index >= 12 - N (the reference hardcodes 12,
+    `src/models/wavlm_audio.py:70-90`), so the frozen prefix is
+    min(num_layers, 12 - N).  The conv feature extractor / feature projection
+    are never unfrozen by any stage policy."""
+    if not model_config.use_wavlm:
+        return 0, False
+    geometry = model_config.wavlm_geometry or {}
+    num_layers = int(geometry.get("num_hidden_layers", 12))
+    if model_config.fusion == "audio":
+        if train_config.wavlm_stage == 1:
+            return num_layers, True  # backbone fully frozen
+        return min(num_layers, 10), True  # stage 2 unfreezes the last 2 of 12
+    if model_config.fusion == "video":
+        return 0, False
+    if train_config.two_stage_training:
+        n = 12 - max(0, train_config.fusion_unfreeze_wavlm_layers)
+        return min(num_layers, max(0, n)), True
+    return 0, False  # single-stage fusion training: everything trainable
 
 
 def trainable_mask(

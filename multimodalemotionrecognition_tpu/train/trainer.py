@@ -84,6 +84,28 @@ class EmotionTrainer:
         data_config: Optional[DataConfig] = None,
         mesh=None,
     ):
+        if model_config.use_wavlm:
+            # Frozen-prefix fused kernels: WavLM components frozen in every
+            # stage of this run (per the freeze policy) may run the eval
+            # Pallas kernels inside the train step — they are stop-gradient'd
+            # end-to-end (static AD scope below), so no VJP is ever needed,
+            # and the attention kernel applies the sublayer's dropout
+            # in-kernel.  wavlm_geometry keys of the same name win (tests).
+            import dataclasses as _dc
+
+            from multimodalemotionrecognition_tpu.train.freeze import (
+                wavlm_frozen_prefix,
+            )
+
+            n_prefix, conv_frozen = wavlm_frozen_prefix(
+                model_config, train_config
+            )
+            if n_prefix or conv_frozen:
+                model_config = _dc.replace(
+                    model_config,
+                    wavlm_fused_train_layers=n_prefix,
+                    wavlm_fused_train_conv=conv_frozen,
+                )
         self.mc = model_config
         self.tc = train_config
         self.dc = data_config
