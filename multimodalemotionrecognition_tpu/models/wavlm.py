@@ -69,15 +69,16 @@ class WavLMConfig:
     # Eval-path conv feature extractor: fused Pallas conv+GELU chain
     # (ops/pallas_conv_fe.py) for the wide-K layers; same flag semantics.
     fused_conv: object = "auto"
-    # Train-path fused kernels for the FROZEN prefix.  The kernels have no
-    # VJP, so these may only name components whose params are stop-gradient'd
-    # in every stage of the run (the trainer derives them from the freeze
-    # policy via train/freeze.py::wavlm_frozen_prefix).  fused_train_layers:
-    # leading encoder layers allowed to run the fused attention sublayer
-    # (with in-kernel dropout) during training; fused_train_conv: allow the
-    # fused conv chain during training (it has no dropout, so it is exactly
-    # the eval math).  Both still honor the fused_attention/fused_conv
-    # platform gates above.
+    # Train-path fused kernels.  fused_train_layers: leading encoder layers
+    # allowed to run the fused attention sublayer (with in-kernel dropout)
+    # during training — the kernel has a custom VJP (flash-style recompute
+    # backward), so this may include TRAINABLE layers; the trainer sets it
+    # to the full stack.  fused_train_conv: allow the fused conv chain
+    # during training — it has NO VJP, so the trainer only sets it when the
+    # freeze policy keeps the conv FE frozen in every stage of the run
+    # (train/freeze.py::wavlm_frozen_prefix; it is then stop-gradient'd
+    # end-to-end and no backward is requested).  Both still honor the
+    # fused_attention/fused_conv platform gates above.
     fused_train_layers: int = 0
     fused_train_conv: bool = False
 

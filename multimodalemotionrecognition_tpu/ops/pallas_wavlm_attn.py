@@ -33,12 +33,20 @@ the softmax probabilities) and hidden dropout (on the projected attention
 output, before the residual) in-kernel, using a counter-based hash RNG
 (murmur-style finalizer over element indices — `pltpu.prng_*` has no
 interpret-mode lowering, and a stateless hash is bit-identical between
-Mosaic and the CPU interpreter, so dropout tests run off-TPU).  This makes
-the kernel usable inside the train step for layers whose params are frozen
-in every stage (stop-gradient'd end-to-end -> no VJP is ever requested);
-`models/wavlm.py` gates that via `WavLMConfig.fused_train_layers`.  The
+Mosaic and the CPU interpreter, so dropout tests run off-TPU).  The
 dropout RNG is behaviorally (not bitwise) equivalent to the modular path's
 threefry `nn.Dropout` — the reference semantics only fix the distribution.
+
+Differentiable: `wavlm_fused_attention_sublayer` carries a custom VJP whose
+backward is a second Pallas kernel (`_sublayer_bwd_kernel`) in the
+flash-attention recompute style — it re-derives scores/probs from q/k/v in
+VMEM instead of saving the O(T^2) tensors, regenerates both dropout masks
+bit-exactly from the hash RNG, and emits every gradient in one pass:
+per-batch dhidden/dq/dk/dv/dgate plus position-bias / out-projection /
+LayerNorm grads accumulated across the sequential batch grid into
+constant-index-map f32 blocks.  So TRAINABLE encoder layers run fused in
+the train step too; `models/wavlm.py` gates train-time fusion via
+`WavLMConfig.fused_train_layers` (the trainer sets it to the full stack).
 """
 
 from __future__ import annotations
@@ -48,6 +56,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["wavlm_fused_attention_sublayer"]
@@ -143,6 +152,313 @@ def _sublayer_kernel(num_heads: int, tp: int, seq_len: int, eps: float,
     o_ref[0] = (normed * lns_ref[...] + lnb_ref[...]).astype(o_ref.dtype)
 
 
+def _forward_call(
+    num_heads, seq_len, eps, attn_dropout, hidden_dropout, interpret,
+    seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb,
+):
+    """The forward pallas_call (tensors already validated/cast)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, tp, e = hidden.shape
+    h = num_heads
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    nat_spec = pl.BlockSpec(
+        (1, tp, e), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    gate_spec = pl.BlockSpec(
+        (1, h * tp, 1), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (h * tp, tp), lambda bb: (0, 0), memory_space=pltpu.VMEM
+    )
+    wo_spec = pl.BlockSpec((e, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _sublayer_kernel, h, tp, seq_len, eps, attn_dropout, hidden_dropout
+        ),
+        grid=(b,),
+        in_specs=[seed_spec, nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
+                  bias_spec, wo_spec, row_spec, row_spec, row_spec],
+        out_specs=nat_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tp, e), hidden.dtype),
+        interpret=interpret,
+    )(seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb)
+
+
+def _sublayer_bwd_kernel(num_heads, tp, seq_len, eps, attn_dropout,
+                         hidden_dropout, seed_ref, h_ref, q_ref, k_ref, v_ref,
+                         g_ref, bias_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+                         do_ref, dh_ref, dq_ref, dk_ref, dv_ref, dg_ref,
+                         dbias_ref, dwo_ref, dbo_ref, dlns_ref, dlnb_ref,
+                         probs_ref, ctx_ref):
+    """Backward of `_sublayer_kernel` for one batch element (flash-style:
+    recomputes scores/probs instead of saving the O(T^2) tensors; the
+    stateless hash RNG regenerates the dropout masks bit-exactly).  Shared
+    params (position bias, out-proj, LN affine) accumulate across the
+    sequential grid into constant-index-map f32 output blocks; grads for
+    padded rows/columns vanish because their upstream cotangents and masked
+    softmax columns are exactly zero."""
+    from jax.experimental import pallas as pl
+
+    e = h_ref.shape[-1]
+    dh_sz = e // num_heads
+    bb = pl.program_id(0)
+
+    @pl.when(bb == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    hidden = h_ref[0]
+    cdt = v_ref.dtype  # matmul operand dtype (compute dtype)
+    if tp != seq_len:
+        col = lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        pad_mask = col >= seq_len
+    else:
+        pad_mask = None
+    if attn_dropout > 0.0 or hidden_dropout > 0.0:
+        base = seed_ref[0].astype(jnp.uint32) + (
+            bb.astype(jnp.uint32) * jnp.uint32(0x632BE59B)
+        )
+    else:
+        base = None
+
+    # ---- recompute the forward up to the pre-norm sum ----
+    acc = jnp.zeros((tp, e), jnp.float32)
+    for h in range(num_heads):
+        lsl = slice(h * dh_sz, (h + 1) * dh_sz)
+        ssl = slice(h * tp, (h + 1) * tp)
+        q = q_ref[0][:, lsl]
+        k = k_ref[0][:, lsl]
+        scores = lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores + g_ref[0, ssl] * bias_ref[ssl]
+        if pad_mask is not None:
+            scores = jnp.where(pad_mask, jnp.float32(-1e30), scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs_ref[ssl] = probs
+        if attn_dropout > 0.0:
+            keep = _hash_keep(
+                base + jnp.uint32(((h + 1) * 0x9E3779B9) & 0xFFFFFFFF),
+                (tp, tp),
+                _drop_threshold(attn_dropout),
+            )
+            probs_d = jnp.where(
+                keep, probs * jnp.float32(1.0 / (1.0 - attn_dropout)), 0.0
+            )
+        else:
+            probs_d = probs
+        ctx = jnp.dot(
+            probs_d.astype(cdt), v_ref[0][:, lsl],
+            preferred_element_type=jnp.float32,
+        )
+        ctx_ref[ssl] = ctx
+        acc = acc + jnp.dot(
+            ctx.astype(cdt), wo_ref[lsl], preferred_element_type=jnp.float32
+        )
+    proj = acc + bo_ref[...]
+    if hidden_dropout > 0.0:
+        keep_hid = _hash_keep(
+            base + jnp.uint32(0x7FEB352D), (tp, e),
+            _drop_threshold(hidden_dropout),
+        )
+        inv_keep_hid = jnp.float32(1.0 / (1.0 - hidden_dropout))
+        proj = jnp.where(keep_hid, proj * inv_keep_hid, 0.0)
+    out = proj + hidden.astype(jnp.float32)
+    mean = jnp.mean(out, axis=-1, keepdims=True)
+    var = jnp.mean((out - mean) ** 2, axis=-1, keepdims=True)
+    rstd = lax.rsqrt(var + eps)
+    normed = (out - mean) * rstd
+
+    # ---- LayerNorm + residual backward ----
+    g_out = do_ref[0].astype(jnp.float32)
+    dlns_ref[...] += jnp.sum(g_out * normed, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(g_out, axis=0, keepdims=True)
+    dn = g_out * lns_ref[...]
+    dout_pre = rstd * (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - normed * jnp.mean(dn * normed, axis=-1, keepdims=True)
+    )
+    dh_ref[0] = dout_pre.astype(dh_ref.dtype)
+    dproj = dout_pre
+    if hidden_dropout > 0.0:
+        dproj = jnp.where(keep_hid, dproj * inv_keep_hid, 0.0)
+    dbo_ref[...] += jnp.sum(dproj, axis=0, keepdims=True)
+    dproj_c = dproj.astype(cdt)
+
+    # ---- per-head attention backward (saved probs/ctx, masks regenerated) --
+    dq_parts, dk_parts, dv_parts, dg_parts, dbias_parts, dwo_parts = (
+        [], [], [], [], [], []
+    )
+    for h in range(num_heads):
+        lsl = slice(h * dh_sz, (h + 1) * dh_sz)
+        ssl = slice(h * tp, (h + 1) * tp)
+        probs = probs_ref[ssl]
+        ctx = ctx_ref[ssl]
+        v = v_ref[0][:, lsl]
+        # d(ctx) = dproj @ wo_h^T ; d(wo_h) = ctx^T @ dproj
+        dctx = lax.dot_general(
+            dproj_c, wo_ref[lsl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwo_parts.append(
+            lax.dot_general(
+                ctx.astype(cdt), dproj_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dctx_c = dctx.astype(cdt)
+        if attn_dropout > 0.0:
+            keep = _hash_keep(
+                base + jnp.uint32(((h + 1) * 0x9E3779B9) & 0xFFFFFFFF),
+                (tp, tp),
+                _drop_threshold(attn_dropout),
+            )
+            inv_keep = jnp.float32(1.0 / (1.0 - attn_dropout))
+            probs_d = jnp.where(keep, probs * inv_keep, 0.0)
+        else:
+            probs_d = probs
+        # d(v) = probs_d^T @ dctx ; d(probs_d) = dctx @ v^T
+        dv_parts.append(
+            lax.dot_general(
+                probs_d.astype(cdt), dctx_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+        )
+        dprobs = lax.dot_general(
+            dctx_c, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if attn_dropout > 0.0:
+            dprobs = jnp.where(keep, dprobs * inv_keep, 0.0)
+        # softmax backward (padded columns have probs == 0 -> dscores == 0)
+        dscores = probs * (
+            dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True)
+        )
+        dg_parts.append(
+            jnp.sum(dscores * bias_ref[ssl], axis=-1, keepdims=True)
+        )
+        dbias_parts.append(g_ref[0, ssl] * dscores)
+        ds_c = dscores.astype(cdt)
+        dq_parts.append(
+            jnp.dot(
+                ds_c, k_ref[0][:, lsl], preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
+        )
+        dk_parts.append(
+            lax.dot_general(
+                ds_c, q_ref[0][:, lsl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+        )
+    dq_ref[0] = jnp.concatenate(dq_parts, axis=-1)
+    dk_ref[0] = jnp.concatenate(dk_parts, axis=-1)
+    dv_ref[0] = jnp.concatenate(dv_parts, axis=-1)
+    dg_ref[0] = jnp.concatenate(dg_parts, axis=0)
+    dbias_ref[...] += jnp.concatenate(dbias_parts, axis=0)
+    dwo_ref[...] += jnp.concatenate(dwo_parts, axis=0)
+
+
+def _backward_call(
+    num_heads, seq_len, eps, attn_dropout, hidden_dropout, interpret,
+    seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb, dout,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, tp, e = hidden.shape
+    h = num_heads
+    dh_sz = e // h
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    nat_spec = pl.BlockSpec(
+        (1, tp, e), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    gate_spec = pl.BlockSpec(
+        (1, h * tp, 1), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (h * tp, tp), lambda bb: (0, 0), memory_space=pltpu.VMEM
+    )
+    wo_spec = pl.BlockSpec((e, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, tp, e), hidden.dtype),  # dhidden
+        jax.ShapeDtypeStruct((b, tp, e), q.dtype),       # dq
+        jax.ShapeDtypeStruct((b, tp, e), k.dtype),       # dk
+        jax.ShapeDtypeStruct((b, tp, e), v.dtype),       # dv
+        jax.ShapeDtypeStruct((b, h * tp, 1), jnp.float32),  # dgate
+        jax.ShapeDtypeStruct((h * tp, tp), jnp.float32),    # dbias (acc)
+        jax.ShapeDtypeStruct((e, e), jnp.float32),          # dwo (acc)
+        jax.ShapeDtypeStruct((1, e), jnp.float32),          # dbo (acc)
+        jax.ShapeDtypeStruct((1, e), jnp.float32),          # dlns (acc)
+        jax.ShapeDtypeStruct((1, e), jnp.float32),          # dlnb (acc)
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sublayer_bwd_kernel, h, tp, seq_len, eps, attn_dropout,
+            hidden_dropout,
+        ),
+        grid=(b,),
+        in_specs=[seed_spec, nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
+                  bias_spec, wo_spec, row_spec, row_spec, row_spec, nat_spec],
+        out_specs=(nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
+                   bias_spec, wo_spec, row_spec, row_spec, row_spec),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((h * tp, tp), jnp.float32),
+            pltpu.VMEM((h * tp, dh_sz), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb, dout)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_fn(num_heads, seq_len, eps, attn_dropout, hidden_dropout,
+                  interpret):
+    """custom_vjp-wrapped sublayer for one static configuration: the forward
+    is `_sublayer_kernel` unchanged; the backward is the flash-style
+    recompute kernel above, so the fused sublayer is usable for TRAINABLE
+    encoder layers, not just the stop-gradient'd frozen prefix."""
+    statics = (num_heads, seq_len, eps, attn_dropout, hidden_dropout,
+               interpret)
+
+    @jax.custom_vjp
+    def f(seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb):
+        return _forward_call(*statics, seed, hidden, q, k, v, gate, bias, wo,
+                             bo, lns, lnb)
+
+    def f_fwd(seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb):
+        args = (seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb)
+        return _forward_call(*statics, *args), args
+
+    def f_bwd(res, g):
+        (dh, dq, dk, dv, dgate, dbias, dwo, dbo, dlns, dlnb) = _backward_call(
+            *statics, *res, g
+        )
+        wo = res[7]
+        return (
+            np.zeros((1,), jax.dtypes.float0),  # seed: integer, no tangent
+            dh, dq, dk, dv, dgate, dbias, dwo.astype(wo.dtype), dbo, dlns,
+            dlnb,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -175,10 +491,11 @@ def wavlm_fused_attention_sublayer(
     slices off after the encoder stack).  attn_dropout drops softmax
     probabilities, hidden_dropout drops the projected attention output before
     the residual (matching the modular sublayer's two nn.Dropout sites); both
-    draw from the stateless hash RNG seeded by dropout_seed."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    draw from the stateless hash RNG seeded by dropout_seed.
 
+    Differentiable: a custom VJP (flash-style recompute backward kernel,
+    `_sublayer_bwd_kernel`) provides gradients w.r.t. every tensor input, so
+    trainable encoder layers can run fused too — not just the frozen prefix."""
     b, tp, e = hidden.shape
     h = num_heads
     if gate.shape != (b, h * tp, 1):
@@ -192,30 +509,10 @@ def wavlm_fused_attention_sublayer(
     if dropout_seed is None:
         dropout_seed = jnp.zeros((1,), jnp.int32)
 
-    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    nat_spec = pl.BlockSpec(
-        (1, tp, e), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    fn = _make_diff_fn(
+        num_heads, seq_len, eps, attn_dropout, hidden_dropout, interpret
     )
-    gate_spec = pl.BlockSpec(
-        (1, h * tp, 1), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
-    )
-    bias_spec = pl.BlockSpec(
-        (h * tp, tp), lambda bb: (0, 0), memory_space=pltpu.VMEM
-    )
-    wo_spec = pl.BlockSpec((e, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, e), lambda bb: (0, 0), memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        functools.partial(
-            _sublayer_kernel, h, tp, seq_len, eps, attn_dropout, hidden_dropout
-        ),
-        grid=(b,),
-        in_specs=[seed_spec, nat_spec, nat_spec, nat_spec, nat_spec, gate_spec,
-                  bias_spec, wo_spec, row_spec, row_spec, row_spec],
-        out_specs=nat_spec,
-        out_shape=jax.ShapeDtypeStruct((b, tp, e), hidden.dtype),
-        interpret=interpret,
-    )(
+    return fn(
         dropout_seed.reshape(1).astype(jnp.int32),
         hidden,
         q,

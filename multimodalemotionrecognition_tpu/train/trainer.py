@@ -85,27 +85,29 @@ class EmotionTrainer:
         mesh=None,
     ):
         if model_config.use_wavlm:
-            # Frozen-prefix fused kernels: WavLM components frozen in every
-            # stage of this run (per the freeze policy) may run the eval
-            # Pallas kernels inside the train step — they are stop-gradient'd
-            # end-to-end (static AD scope below), so no VJP is ever needed,
-            # and the attention kernel applies the sublayer's dropout
-            # in-kernel.  wavlm_geometry keys of the same name win (tests).
+            # Train-path fused kernels.  The attention sublayer kernel has a
+            # custom VJP (flash-style recompute backward,
+            # ops/pallas_wavlm_attn.py), so EVERY encoder layer runs fused in
+            # the train step — trainable layers differentiate through the
+            # backward kernel, frozen layers are stop-gradient'd (static AD
+            # scope below) and never request it.  The conv-FE chain has no
+            # VJP, so it fuses only when the freeze policy keeps it frozen in
+            # every stage of the run.  wavlm_geometry keys of the same name
+            # win (tests).
             import dataclasses as _dc
 
             from multimodalemotionrecognition_tpu.train.freeze import (
                 wavlm_frozen_prefix,
             )
 
-            n_prefix, conv_frozen = wavlm_frozen_prefix(
-                model_config, train_config
+            _, conv_frozen = wavlm_frozen_prefix(model_config, train_config)
+            geometry = model_config.wavlm_geometry or {}
+            n_layers = int(geometry.get("num_hidden_layers", 12))
+            model_config = _dc.replace(
+                model_config,
+                wavlm_fused_train_layers=n_layers,
+                wavlm_fused_train_conv=conv_frozen,
             )
-            if n_prefix or conv_frozen:
-                model_config = _dc.replace(
-                    model_config,
-                    wavlm_fused_train_layers=n_prefix,
-                    wavlm_fused_train_conv=conv_frozen,
-                )
         self.mc = model_config
         self.tc = train_config
         self.dc = data_config

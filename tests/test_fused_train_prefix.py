@@ -1,15 +1,17 @@
-"""Frozen-prefix fused kernels in the TRAIN step.
+"""Fused kernels in the TRAIN step.
 
-The eval Pallas kernels (ops/pallas_wavlm_attn.py, ops/pallas_conv_fe.py)
-have no VJP, but components frozen in every stage of a run are
-stop-gradient'd end-to-end by the trainer's static AD scope — so they can
-run the fused kernels during training.  The attention kernel applies the
-modular sublayer's two dropout sites in-kernel via a stateless hash RNG
+The attention sublayer kernel (ops/pallas_wavlm_attn.py) carries a custom
+VJP, so every encoder layer runs fused during training — trainable layers
+differentiate through the backward kernel, frozen layers are
+stop-gradient'd end-to-end by the trainer's static AD scope and never
+request it.  The conv chain (ops/pallas_conv_fe.py) has no VJP and fuses
+only while frozen in every stage of the run.  The attention kernel applies
+the modular sublayer's two dropout sites in-kernel via a stateless hash RNG
 (bit-identical between Mosaic and the CPU interpreter).  These tests cover
 the hash RNG, the kernel's dropout semantics, the model-level gating
 (WavLMConfig.fused_train_layers / fused_train_conv), the freeze-policy
-derivation, and a full trainer step against the modular path.
-"""
+derivation, and full trainer steps against the modular path (frozen-prefix
+regime AND everything-trainable regime)."""
 
 import numpy as np
 import pytest
@@ -252,6 +254,18 @@ class TestFrozenPrefixPolicy:
         # checkpoint config stays free of training-run fields
         assert "wavlm_fused_train_layers" not in trainer.mc.to_checkpoint_dict()
 
+    def test_trainer_fuses_all_layers_even_when_trainable(self):
+        """The attention kernel has a custom VJP, so the trainer fuses every
+        encoder layer regardless of the freeze policy; only the conv chain
+        (no VJP) stays gated on it."""
+        mc = ModelConfig(
+            fusion="xattn", use_wavlm=True, spec_augment=False,
+            wavlm_geometry=dict(SMALL),
+        )
+        trainer = EmotionTrainer(mc, TrainConfig(two_stage_training=False))
+        assert trainer.mc.wavlm_fused_train_layers == 2  # all layers
+        assert trainer.mc.wavlm_fused_train_conv is False  # conv trainable
+
 
 class TestTrainerStepWithFusedPrefix:
     """Full jitted train step: fused frozen prefix (interpret kernels) must
@@ -300,4 +314,89 @@ class TestTrainerStepWithFusedPrefix:
         for k in a:
             np.testing.assert_allclose(
                 np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, err_msg=str(k)
+            )
+
+
+class TestTrainerStepWithTrainableFusedLayers:
+    """Single-stage xattn fusion (stage 0: EVERYTHING trainable): the fused
+    attention sublayers differentiate through the custom-VJP backward
+    kernel.  Two jitted optimizer steps must reproduce the modular path's
+    params — this checks dq/dk/dv/dgate/dbias/dwo/dLN grads end-to-end (the
+    conv chain stays modular here because it is trainable and has no VJP)."""
+
+    def test_grads_match_modular_with_trainable_fused(self):
+        # Gradients are compared directly (NOT params after Adam steps:
+        # Adam's g/(sqrt(nu)+eps) normalization amplifies f32
+        # accumulation-order noise around zero-gradient coordinates into
+        # O(lr) param differences, which says nothing about grad quality).
+        geometry = dict(SMALL, **NO_DROPOUT)
+        tc = TrainConfig(
+            lr=1e-3, two_stage_training=False, donate_buffers=False,
+        )
+        rng = np.random.RandomState(0)
+        video = jnp.asarray(rng.randn(2, 2, 3, 32, 32).astype(np.float32))
+        audio = jnp.asarray(rng.randn(2, 1, 12000).astype(np.float32) * 0.05)
+        labels = jnp.asarray(rng.randint(0, 4, 2).astype(np.int32))
+        valid = jnp.ones(2, bool)
+
+        from multimodalemotionrecognition_tpu.train.trainer import _RNG_STREAMS
+
+        grads_by_mode = []
+        for fused in (False, True):
+            geo = dict(
+                geometry,
+                fused_attention="interpret" if fused else False,
+                fused_conv=False,
+            )
+            mc = ModelConfig(
+                fusion="xattn", use_wavlm=True, num_classes=4,
+                spec_augment=False, wavlm_geometry=geo,
+                xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0,
+            )
+            trainer = EmotionTrainer(mc, tc)
+            if fused:
+                assert trainer.mc.wavlm_fused_train_layers == 2  # all layers
+                assert trainer.mc.wavlm_fused_train_conv is False
+            state = trainer.init_state()
+            from multimodalemotionrecognition_tpu.train.freeze import (
+                trainable_mask,
+            )
+
+            mask = trainable_mask(state.params, trainer.mc, tc, stage=0)
+            assert all(
+                v == 1.0 for v in flatten_dict(mask).values()
+            )  # stage 0 fusion: everything trainable -> VJP exercised
+
+            rngs = {
+                name: jax.random.PRNGKey(100 + i)
+                for i, name in enumerate(_RNG_STREAMS)
+            }
+
+            def loss_fn(params, trainer=trainer, state=state, rngs=rngs):
+                variables = {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                }
+                outputs, aux, _ = trainer._apply(
+                    variables, video, audio, True, rngs, mutable=True
+                )
+                total, _, _ = trainer._losses(outputs, aux, labels, valid)
+                return total
+
+            grads = jax.jit(jax.grad(loss_fn))(state.params)
+            grads_by_mode.append(flatten_dict(jax.device_get(grads)))
+
+        a, b = grads_by_mode
+        nonzero_encoder = [
+            k for k in a
+            if "encoder.layers" in ".".join(map(str, k))
+            and np.abs(np.asarray(b[k])).max() > 0
+        ]
+        assert nonzero_encoder, "fused path produced no encoder grads"
+        for k in a:
+            ref = np.asarray(a[k])
+            got = np.asarray(b[k])
+            scale = max(np.abs(ref).max(), 1e-8)
+            np.testing.assert_allclose(
+                got, ref, atol=max(3e-6, 1e-4 * scale), err_msg=str(k)
             )
