@@ -421,6 +421,13 @@ def _backward_call(
             pltpu.VMEM((h * tp, tp), jnp.float32),
             pltpu.VMEM((h * tp, dh_sz), jnp.float32),
         ],
+        # The backward holds ~18.5 MB of blocks at b64/bf16 (inputs + four
+        # per-batch grads + the accumulated shared-param grads + the
+        # probs/ctx scratch), over Mosaic's default 16 MB scoped-vmem cap —
+        # raise it; a v5e core has 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(seed, hidden, q, k, v, gate, bias, wo, bo, lns, lnb, dout)
 
