@@ -282,6 +282,10 @@ class ServeConfig:
     audio_int16_wire: bool = True
     # XLA static-shape batch buckets for the dynamic batcher.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    # Multi-chip inference: (data, model) mesh shape, e.g. (8, 1) to shard
+    # request batches over 8 chips.  None = single device (the default;
+    # matches the reference's single-device worker).
+    mesh_shape: Optional[Tuple[int, int]] = None
     # Streaming (backend/app/config.py:16-19)
     stream_window_sec: float = 3.0
     stream_step_sec: float = 0.5
@@ -308,4 +312,30 @@ class ServeConfig:
             fused_xattn=_env("EMO_FUSED_XATTN", "0") == "1",
             device_normalize=_env("EMO_DEVICE_NORMALIZE", "1") == "1",
             audio_int16_wire=_env("EMO_AUDIO_INT16_WIRE", "1") == "1",
+            mesh_shape=_parse_mesh_shape(_env("EMO_MESH_SHAPE", "")),
         )
+
+    def make_mesh(self):
+        """Build the inference mesh from `mesh_shape` (None when unset).
+        Uses the first dp*tp devices so a sub-slice mesh works on any host."""
+        if self.mesh_shape is None:
+            return None
+        import jax
+
+        from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+        dp, tp = self.mesh_shape
+        return make_mesh((dp, tp), devices=jax.devices()[: dp * tp])
+
+
+def _parse_mesh_shape(spec: str) -> Optional[Tuple[int, int]]:
+    """"8" -> (8, 1); "4,2" / "4x2" -> (4, 2); "" -> None."""
+    spec = spec.strip()
+    if not spec:
+        return None
+    parts = [p for p in spec.replace("x", ",").split(",") if p.strip()]
+    if len(parts) == 1:
+        return (int(parts[0]), 1)
+    if len(parts) == 2:
+        return (int(parts[0]), int(parts[1]))
+    raise ValueError(f"EMO_MESH_SHAPE must be 'dp' or 'dp,tp', got {spec!r}")

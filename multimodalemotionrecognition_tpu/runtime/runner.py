@@ -13,7 +13,14 @@ TPU-native counterpart of the reference's TorchModelRunner / OnnxModelRunner
     lazily and cached;
   * optional int8 weight-only quantization of Dense kernels mirrors the
     reference's CPU dynamic quantization switch (`:95-96`);
-  * optional bfloat16 compute for TPU serving speed.
+  * optional bfloat16 compute for TPU serving speed;
+  * optional multi-chip inference: pass a `jax.sharding.Mesh` (data, model)
+    and the runner shards each request batch over the "data" axis (and the
+    WavLM trunk over "model" when that axis is >1) — XLA inserts the ICI
+    collectives.  This is the intra-slice half of inference scale-out; the
+    Redis gateway/worker pair (serving/redis_transport.py) is the cross-host
+    (DCN) half, mirroring the reference's only distributed mechanism
+    (`src/inference_server.py:53-151`).
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ class JaxModelRunner:
         fused: bool = False,
         device_normalize: bool = False,
         donate: bool = False,
+        mesh: Optional[Any] = None,
     ):
         from multimodalemotionrecognition_tpu.convert import (
             checkpoint_uses_wavlm,
@@ -81,7 +89,14 @@ class JaxModelRunner:
         )
         self.use_wavlm = bool(config.get("use_wavlm", checkpoint_uses_wavlm(sd)))
         self.labels = list(labels_for(self.num_classes))
-        self.batch_buckets = tuple(sorted(batch_buckets))
+        # Multi-chip: batches shard over mesh "data"; every bucket must be a
+        # multiple of the data-axis size so each chip gets equal rows.
+        self.mesh = mesh
+        self._dp = int(mesh.shape["data"]) if mesh is not None else 1
+        buckets = sorted(batch_buckets)
+        if self._dp > 1:
+            buckets = sorted({-(-b // self._dp) * self._dp for b in buckets})
+        self.batch_buckets = tuple(buckets)
         # device_normalize: accept uint8 video and run /255 + ImageNet
         # normalization inside the jitted forward (4x less host->device
         # transfer than pre-normalized float32 frames).
@@ -115,12 +130,26 @@ class JaxModelRunner:
         self._dequant_scales: Dict[Tuple[str, ...], np.ndarray] = {}
         if quantize_int8:
             variables = self._quantize_dense_int8(variables)
-        self.variables = jax.device_put(variables)
+        if mesh is not None:
+            from multimodalemotionrecognition_tpu.parallel.mesh import shard_params
+
+            self.variables = shard_params(mesh, variables)
+        else:
+            self.variables = jax.device_put(variables)
         # One jit wrapper; XLA's own shape cache keys the per-bucket
         # executables (a per-bucket dict of jax.jit objects would be redundant).
         self._jitted_forward = jax.jit(self._forward)
         self._blank_video_forward = None
         self._fused_forward = None
+        if fused and self._dp > 1:
+            # A pallas_call inside a sharded jit is not automatically
+            # partitioned; the modular XLA graph shards cleanly and is the
+            # measured-faster path at throughput batch anyway (RESULTS.md).
+            print(
+                "[WARNING] fused=True ignored under a multi-device mesh; "
+                "using the modular (auto-sharded) path."
+            )
+            fused = False
         if fused:
             from multimodalemotionrecognition_tpu.runtime.fused import (
                 build_fused_xattn_forward,
@@ -155,14 +184,14 @@ class JaxModelRunner:
         # uint8 (device_normalize) — warmup must match it to pre-compile the
         # right executable.
         video_dtype = (
-            jnp.uint8 if (self.device_normalize and not for_init) else jnp.float32
+            np.uint8 if (self.device_normalize and not for_init) else np.float32
         )
-        video = jnp.zeros((batch, 8, 3, 112, 112), video_dtype)
+        video = np.zeros((batch, 8, 3, 112, 112), video_dtype)
         if self.use_wavlm:
-            audio = jnp.zeros((batch, 1, 48000), jnp.float32)
+            audio = np.zeros((batch, 1, 48000), np.float32)
         else:
-            audio = jnp.zeros(
-                (batch, 1, self.model_config.audio_n_mels, 301), jnp.float32
+            audio = np.zeros(
+                (batch, 1, self.model_config.audio_n_mels, 301), np.float32
             )
         return video, audio
 
@@ -247,6 +276,18 @@ class JaxModelRunner:
 
     # ------------------------------------------------------------------
 
+    def _put_batch(self, arr) -> jnp.ndarray:
+        """Host array -> device, batch dim sharded over the mesh "data" axis
+        when a mesh is set (each chip receives only its rows); pre-staged
+        device arrays pass through untouched."""
+        if isinstance(arr, jax.Array):
+            return arr
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+
     def _pad_to_bucket(self, videos, audios):
         """Bucket-pad host arrays; -> (videos, audios, n)."""
         videos = np.asarray(videos)
@@ -275,7 +316,7 @@ class JaxModelRunner:
         Serving's pipelined batcher stages batch N+1 in the preprocess stage
         so its transfer rides under batch N's device compute."""
         videos, audios, n = self._pad_to_bucket(videos, audios)
-        return jnp.asarray(videos), jnp.asarray(audios), n
+        return self._put_batch(videos), self._put_batch(audios), n
 
     def stage_audio(self, audios) -> Tuple[jnp.ndarray, int]:
         """`stage` for blank-video (audio-only) batches."""
@@ -288,7 +329,7 @@ class JaxModelRunner:
             audios = np.concatenate(
                 [audios, np.zeros((bucket - n,) + audios.shape[1:], audios.dtype)]
             )
-        return jnp.asarray(audios), n
+        return self._put_batch(audios), n
 
     def predict_probs(
         self, videos, audios, n: Optional[int] = None
@@ -301,7 +342,7 @@ class JaxModelRunner:
         if n is None:
             videos, audios, n = self._pad_to_bucket(videos, audios)
         probs = self._jitted_forward(
-            self.variables, jnp.asarray(videos), jnp.asarray(audios)
+            self.variables, self._put_batch(videos), self._put_batch(audios)
         )
         return np.asarray(probs)[:n]
 
@@ -333,11 +374,15 @@ class JaxModelRunner:
                 return self._forward(variables, video, audio)
 
             self._blank_video_forward = jax.jit(forward_blank)
-        probs = self._blank_video_forward(self.variables, jnp.asarray(audios))
+        probs = self._blank_video_forward(self.variables, self._put_batch(audios))
         return np.asarray(probs)[:n]
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the bucket executables (first TPU compile is slow)."""
         for b in buckets or self.batch_buckets:
             video, audio = self._example_inputs(b)
-            np.asarray(self._jitted_forward(self.variables, video, audio))
+            np.asarray(
+                self._jitted_forward(
+                    self.variables, self._put_batch(video), self._put_batch(audio)
+                )
+            )

@@ -45,6 +45,7 @@ class EmotionPredictor:
                     checkpoint_path or cfg.checkpoint_path,
                     num_classes=num_classes,
                     batch_buckets=cfg.batch_buckets,
+                    mesh=cfg.make_mesh(),
                 )
                 self.use_wavlm = self.runner.use_wavlm
                 self.emotion_labels = list(self.runner.labels)

@@ -348,7 +348,14 @@ def main() -> None:  # pragma: no cover - needs a live Redis + checkpoint
     args = p.parse_args()
     from multimodalemotionrecognition_tpu.runtime.runner import JaxModelRunner
 
-    runner = JaxModelRunner(args.checkpoint)
+    cfg = ServeConfig.from_env()
+    runner = JaxModelRunner(
+        args.checkpoint,
+        batch_buckets=cfg.batch_buckets,
+        compute_dtype=cfg.compute_dtype,
+        device_normalize=cfg.device_normalize,
+        mesh=cfg.make_mesh(),
+    )
     runner.warmup()
     RedisWorker(runner, redis_url=args.redis_url).run()
 

@@ -86,6 +86,7 @@ def create_app(
                     compute_dtype=config.compute_dtype,
                     fused=config.fused_xattn,
                     device_normalize=config.device_normalize,
+                    mesh=config.make_mesh(),
                 )
             # Pre-compile the bucket executables at startup so the first real
             # request doesn't pay the XLA compile (reference loads the model

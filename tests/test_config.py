@@ -64,3 +64,24 @@ def test_serve_config_env(monkeypatch):
 def test_unknown_checkpoint_keys_ignored():
     restored = ModelConfig.from_checkpoint_dict({"fusion": "gated", "bogus_key": 1})
     assert restored.fusion == "gated"
+
+
+def test_serve_config_mesh_shape(monkeypatch):
+    """EMO_MESH_SHAPE parsing -> (data, model) inference mesh."""
+    from multimodalemotionrecognition_tpu.config import (
+        ServeConfig,
+        _parse_mesh_shape,
+    )
+
+    assert _parse_mesh_shape("") is None
+    assert _parse_mesh_shape("8") == (8, 1)
+    assert _parse_mesh_shape("4,2") == (4, 2)
+    assert _parse_mesh_shape("4x2") == (4, 2)
+
+    assert ServeConfig.from_env().mesh_shape is None
+    assert ServeConfig.from_env().make_mesh() is None
+    monkeypatch.setenv("EMO_MESH_SHAPE", "2,1")
+    cfg = ServeConfig.from_env()
+    assert cfg.mesh_shape == (2, 1)
+    mesh = cfg.make_mesh()
+    assert dict(mesh.shape) == {"data": 2, "model": 1}

@@ -276,3 +276,52 @@ def test_runner_blank_video_matches_zero_tensor(wavlm_checkpoint):
         p_explicit = runner.predict_probs(videos, wav)
         p_blank = runner.predict_probs_blank_video(wav)
         np.testing.assert_allclose(p_blank, p_explicit, atol=1e-6)
+
+
+def test_runner_mesh_dp_matches_single(xattn_checkpoint):
+    """8-way batch-sharded inference == single-device inference (multi-chip
+    serving scale-out; params replicated, batch over the "data" axis)."""
+    from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+    path, *_ = xattn_checkpoint
+    mesh = make_mesh((8, 1))
+    base = JaxModelRunner(path)
+    sharded = JaxModelRunner(path, mesh=mesh, batch_buckets=(1, 2, 4, 8))
+    # Every bucket must be a multiple of the data-axis size.
+    assert sharded.batch_buckets == (8,)
+    rng = np.random.RandomState(3)
+    video = rng.randn(3, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(3, 1, 64, 301).astype(np.float32)
+    ps = sharded.predict_probs(video, audio)
+    pb = base.predict_probs(video, audio)
+    assert ps.shape == (3, 8)
+    np.testing.assert_allclose(ps, pb, atol=1e-5)
+    # Staged (async-transfer) path shards too.
+    v_dev, a_dev, n = sharded.stage(video, audio)
+    np.testing.assert_allclose(
+        sharded.predict_probs(v_dev, a_dev, n=n), pb, atol=1e-5
+    )
+
+
+def test_runner_mesh_dp_tp_wavlm_matches_single(wavlm_checkpoint):
+    """dp=4 x tp=2 (WavLM trunk tensor-parallel) == unsharded probabilities,
+    including the blank-video (audio-only upload) path."""
+    from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2))
+    base = JaxModelRunner(wavlm_checkpoint)
+    sharded = JaxModelRunner(wavlm_checkpoint, mesh=mesh, batch_buckets=(1, 2, 4))
+    assert sharded.batch_buckets == (4,)
+    rng = np.random.RandomState(4)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = (rng.randn(2, 1, 48000) * 0.1).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.predict_probs(video, audio),
+        base.predict_probs(video, audio),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        sharded.predict_probs_blank_video(audio),
+        base.predict_probs_blank_video(audio),
+        atol=2e-5,
+    )
