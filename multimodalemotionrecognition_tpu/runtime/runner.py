@@ -59,6 +59,7 @@ class JaxModelRunner:
         device_normalize: bool = False,
         donate: bool = False,
         mesh: Optional[Any] = None,
+        fused_wavlm: Any = "auto",
     ):
         from multimodalemotionrecognition_tpu.convert import (
             checkpoint_uses_wavlm,
@@ -93,6 +94,7 @@ class JaxModelRunner:
         # multiple of the data-axis size so each chip gets equal rows.
         self.mesh = mesh
         self._dp = int(mesh.shape["data"]) if mesh is not None else 1
+        self._tp = int(mesh.shape["model"]) if mesh is not None else 1
         buckets = sorted(batch_buckets)
         if self._dp > 1:
             buckets = sorted({-(-b // self._dp) * self._dp for b in buckets})
@@ -109,6 +111,27 @@ class JaxModelRunner:
             compute_dtype=compute_dtype,
             spec_augment=False,
         )
+        # Model-level fused WavLM kernels under a mesh: the in-model "auto"
+        # gate requires device_count()==1 (a pallas_call inside a plain
+        # sharded jit is not automatically partitioned), so the runner
+        # resolves the gate itself and, when on, runs the whole forward under
+        # shard_map — each chip executes the fused kernels on its batch
+        # shard.  tp>1 keeps the modular auto-sharded graph (the kernels
+        # need the full hidden width).
+        self._fused_wavlm = self._resolve_fused_wavlm(fused_wavlm)
+        if self._fused_wavlm is not None:
+            import dataclasses as _dc
+
+            mode: Any = (
+                "interpret" if self._fused_wavlm == "interpret"
+                else bool(self._fused_wavlm)
+            )
+            geometry = dict(self.model_config.wavlm_geometry or {})
+            geometry["fused_attention"] = mode
+            geometry["fused_conv"] = mode
+            self.model_config = _dc.replace(
+                self.model_config, wavlm_geometry=geometry
+            )
         self.model = build_model(self.model_config)
 
         template = jax.eval_shape(self._init_fn())
@@ -136,20 +159,28 @@ class JaxModelRunner:
             self.variables = shard_params(mesh, variables)
         else:
             self.variables = jax.device_put(variables)
-        # One jit wrapper; XLA's own shape cache keys the per-bucket
-        # executables (a per-bucket dict of jax.jit objects would be redundant).
-        self._jitted_forward = jax.jit(self._forward)
-        self._blank_video_forward = None
-        self._fused_forward = None
-        if fused and self._dp > 1:
-            # A pallas_call inside a sharded jit is not automatically
-            # partitioned; the modular XLA graph shards cleanly and is the
-            # measured-faster path at throughput batch anyway (RESULTS.md).
+        if fused and self.mesh is not None and self._tp > 1:
+            # The full-block kernel needs the full model width per device;
+            # under tensor parallelism the modular auto-sharded graph is the
+            # only correct path (and the measured-faster one at throughput
+            # batch anyway — RESULTS.md).
             print(
-                "[WARNING] fused=True ignored under a multi-device mesh; "
+                "[WARNING] fused=True ignored under a tensor-parallel mesh; "
                 "using the modular (auto-sharded) path."
             )
             fused = False
+        # shard_map wraps the forward whenever Pallas kernels may be present
+        # under a mesh: each device runs the kernels on its batch shard (the
+        # idiomatic multi-chip Pallas pattern — a pallas_call inside a plain
+        # sharded jit is NOT automatically partitioned).
+        self._use_shard_map = self.mesh is not None and (
+            bool(self._fused_wavlm) or fused
+        )
+        # One jit wrapper; XLA's own shape cache keys the per-bucket
+        # executables (a per-bucket dict of jax.jit objects would be redundant).
+        self._jitted_forward = jax.jit(self._wrap_sharded(self._forward, 2))
+        self._blank_video_forward = None
+        self._fused_forward = None
         if fused:
             from multimodalemotionrecognition_tpu.runtime.fused import (
                 build_fused_xattn_forward,
@@ -176,6 +207,50 @@ class JaxModelRunner:
                 )
 
     # ------------------------------------------------------------------
+
+    def _resolve_fused_wavlm(self, flag: Any):
+        """Resolve the runner-level fused-WavLM-kernel gate.
+
+        Returns None to leave the model's own "auto" gate in charge (the
+        single-device case), or True/False/"interpret" to force the kernels
+        via `wavlm_geometry` overrides.  Under a dp-only mesh, "auto"
+        mirrors the in-model gate (TPU backend on, EMO_FUSED_WAVLM=0/1
+        overrides) because the in-model gate would see device_count()>1 and
+        stay off; the runner compensates by running the forward under
+        shard_map."""
+        if not self.use_wavlm:
+            return None
+        if flag == "auto":
+            if self.mesh is None or self._tp != 1:
+                return None
+            import os
+
+            env = os.environ.get("EMO_FUSED_WAVLM")
+            if env is not None:
+                return env == "1"
+            return True if jax.default_backend() == "tpu" else None
+        if flag and self.mesh is not None and self._tp != 1:
+            print(
+                "[WARNING] fused_wavlm ignored under a tensor-parallel mesh "
+                "(the kernels need the full hidden width per device)."
+            )
+            return None
+        return flag
+
+    def _wrap_sharded(self, fn, n_batch_args: int):
+        """shard_map wrapper: params replicated, batch args sharded over
+        "data".  Identity when the modular auto-sharded jit suffices."""
+        if not getattr(self, "_use_shard_map", False):
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(),) + (P("data"),) * n_batch_args,
+            out_specs=P("data"),
+            check_vma=False,
+        )
 
     def _example_inputs(
         self, batch: int = 1, for_init: bool = False
@@ -373,7 +448,9 @@ class JaxModelRunner:
                     video = jnp.broadcast_to(-mean / std, video.shape)
                 return self._forward(variables, video, audio)
 
-            self._blank_video_forward = jax.jit(forward_blank)
+            self._blank_video_forward = jax.jit(
+                self._wrap_sharded(forward_blank, 1)
+            )
         probs = self._blank_video_forward(self.variables, self._put_batch(audios))
         return np.asarray(probs)[:n]
 

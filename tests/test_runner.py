@@ -303,6 +303,61 @@ def test_runner_mesh_dp_matches_single(xattn_checkpoint):
     )
 
 
+def test_runner_mesh_shardmap_fused_wavlm(wavlm_checkpoint):
+    """Fused WavLM Pallas kernels under a dp mesh run via shard_map (each
+    device executes the kernels on its batch shard) and match the modular
+    auto-sharded path.  On CPU the default gate stays off (modular)."""
+    from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    base = JaxModelRunner(wavlm_checkpoint)
+    default = JaxModelRunner(wavlm_checkpoint, mesh=mesh, batch_buckets=(4,))
+    assert not default._use_shard_map  # CPU backend: auto stays modular
+    fused = JaxModelRunner(
+        wavlm_checkpoint,
+        mesh=mesh,
+        batch_buckets=(4,),
+        fused_wavlm="interpret",
+    )
+    assert fused._use_shard_map
+    geometry = fused.model_config.wavlm_geometry
+    assert geometry["fused_attention"] == "interpret"
+
+    rng = np.random.RandomState(6)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = (rng.randn(2, 1, 48000) * 0.1).astype(np.float32)
+    pb = base.predict_probs(video, audio)
+    np.testing.assert_allclose(
+        fused.predict_probs(video, audio), pb, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        fused.predict_probs_blank_video(audio),
+        base.predict_probs_blank_video(audio),
+        atol=5e-5,
+    )
+
+
+def test_runner_mesh_shardmap_full_block_kernel(xattn_checkpoint):
+    """The full-block xattn kernel (runner fused=True) also runs under a dp
+    mesh via shard_map instead of being disabled."""
+    from multimodalemotionrecognition_tpu.parallel.mesh import make_mesh
+
+    path, *_ = xattn_checkpoint
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    base = JaxModelRunner(path)
+    fused = JaxModelRunner(path, mesh=mesh, batch_buckets=(4,), fused=True)
+    assert fused._use_shard_map and fused._fused_forward is not None
+    rng = np.random.RandomState(7)
+    video = rng.randn(2, 8, 3, 112, 112).astype(np.float32)
+    audio = rng.randn(2, 1, 64, 301).astype(np.float32)
+    np.testing.assert_allclose(
+        fused.predict_probs(video, audio),
+        base.predict_probs(video, audio),
+        atol=5e-5,
+        rtol=5e-5,
+    )
+
+
 def test_runner_mesh_dp_tp_wavlm_matches_single(wavlm_checkpoint):
     """dp=4 x tp=2 (WavLM trunk tensor-parallel) == unsharded probabilities,
     including the blank-video (audio-only upload) path."""
