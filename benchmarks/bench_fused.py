@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--prior", action="store_true")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--spp", type=int, default=8,
+                    help="samples per kernel program (1 = per-sample grid)")
     args = ap.parse_args()
 
     import os
@@ -99,7 +101,7 @@ def main() -> None:
         num_classes=8,
     )
     block_args, layout = extract_block_params(variables["params"], spec, {})
-    block_fn = build_fused_block_fn(spec, layout)
+    block_fn = build_fused_block_fn(spec, layout, samples_per_program=args.spp)
 
     def modular_step(v, a):
         out, _aux = model.apply(variables, v, a)

@@ -224,6 +224,27 @@ def _dot_nt(a, b, precision=None):
     )
 
 
+def _dot_tn(a, b, precision=None):
+    """a [K,M] x b [K,N] -> [M,N] (contract the SUBLANE dim of both) —
+    used for per-sample segment reductions against a membership matrix."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _assign_matrix(s: int, t_len: int):
+    """[s*t_len, s] one-hot float sample-membership matrix for flattened
+    [s*t_len, d] token blocks.  Built from iota + multiply + compare (no
+    integer division — Mosaic-safe); row i belongs to sample i // t_len."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (s * t_len, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s * t_len, s), 1) * t_len
+    return ((r >= c) & (r < c + t_len)).astype(jnp.float32)
+
+
 def _dot_hi(a, b):
     """HIGHEST-precision dot for NARROW contractions (K=1 or N=1 score/outer
     products).  XLA computes these exactly on the VPU in the modular graph,
@@ -337,6 +358,77 @@ def _prior_bias(v, a, p, spec: FusedBlockSpec):
 
 
 # ---------------------------------------------------------------------------
+# batched (multi-sample-per-program) helpers
+#
+# The S=1 kernel launches one grid program per sample; at throughput batch
+# the per-program overhead and 8/149-row matmuls dominate (219 us vs the
+# modular XLA graph's 53 us at b64 — RESULTS.md).  The batched variant packs
+# S samples into one program over FLATTENED token blocks ([S*T, d]) so the
+# projections — ~90% of the block's FLOPs — run as S-times-taller MXU
+# matmuls, and the whole working set still lives in VMEM (zero intermediate
+# HBM round trips, which is what bounds the modular path).  Cross-sample
+# attention terms are killed with an additive -1e30 membership mask; all
+# per-sample reductions (means, attn-pool softmax, prior pooling) become
+# matmuls against a 0/1 membership matrix at HIGHEST precision (exact).
+# ---------------------------------------------------------------------------
+
+
+def _mean_pool_batched(x, P, t_len: int):
+    """x [S*t, d], P [S*t, S] -> per-sample means [S, d] (exact: 0/1 weights
+    at HIGHEST precision)."""
+    return _dot_tn(P, x, _HI) / float(t_len)
+
+
+def _attn_pool_batched(x, P, ln_s, ln_b, w1, b1, w2, b2):
+    """TemporalAttentionPooling over flattened samples: per-sample softmax
+    via membership-matrix max/sum (numerically identical to the per-sample
+    path — the max subtracted is each sample's own max)."""
+    s = _layer_norm(x, ln_s, ln_b)
+    s = _gelu_exact(_dotf(s, w1) + b1)
+    s = _dot_hi(s, w2) + b2  # [S*t, 1]
+    col = P * s + (P - 1.0) * 1e30  # [S*t, S]; non-members -> -1e30
+    maxes = jnp.max(col, axis=0, keepdims=True)  # [1, S] per-sample max
+    mx = _dot_nt(P, maxes, _HI)  # [S*t, 1] own-sample max per row
+    e = jnp.exp(s - mx)
+    denom = _dot_tn(P, e, _HI)  # [S, 1] per-sample sums
+    w = e / _dot_hi(P, denom)  # [S*t, 1] softmax weights
+    return _dot_tn(P, x * w, _HI)  # [S, d] weighted sums
+
+
+def _prior_bias_batched(v, a, Pv, Pa, t: int, ta: int, p,
+                        spec: FusedBlockSpec):
+    """EmotionPriorBiasAdapter on flattened samples -> full [S*T, S*Ta] /
+    [S*Ta, S*T] additive biases.  Cross-sample entries carry garbage (tanh-
+    bounded) and are annihilated by the -1e30 membership mask added on top."""
+    pooled = jnp.concatenate(
+        [_mean_pool_batched(v, Pv, t), _mean_pool_batched(a, Pa, ta)], axis=1
+    )  # [S, 2d]
+    hidden = jax.nn.relu(_dotf(pooled, p["ep_p0_w"]) + p["ep_p0_b"])
+    prior = _dotf(hidden, p["ep_p3_w"]) + p["ep_p3_b"]  # [S, pdim]
+    scale = p["ep_scale"].reshape((1, 1))
+
+    def scores(tokens, P, w, b):
+        # tokens [S*t, d]; w [d + pdim, 1]; the prior part is per-sample and
+        # broadcast back to token rows through the membership matrix.
+        t_part = _dot_hi(tokens, w[: tokens.shape[1], :])  # [S*t, 1]
+        p_part = _dot_hi(prior, w[tokens.shape[1] :, :])  # [S, 1]
+        return t_part + _dot_hi(P, p_part) + b
+
+    def outer_sum(qs, ks):
+        ones_q = jnp.ones_like(qs)
+        ones_k = jnp.ones_like(ks)
+        return _dot_nt(qs, ones_k, _HI) + _dot_nt(ones_q, ks, _HI)
+
+    vq = scores(v, Pv, p["ep_vq_w"], p["ep_vq_b"])
+    ak = scores(a, Pa, p["ep_ak_w"], p["ep_ak_b"])
+    aq = scores(a, Pa, p["ep_aq_w"], p["ep_aq_b"])
+    vk = scores(v, Pv, p["ep_vk_w"], p["ep_vk_b"])
+    v2a = jnp.tanh(outer_sum(vq, ak)) * scale
+    a2v = jnp.tanh(outer_sum(aq, vk)) * scale
+    return v2a, a2v
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -411,11 +503,102 @@ def _block_kernel(spec: FusedBlockSpec, layout, v_ref, a_ref, *param_refs):
     out_ref[0] = jnp.concatenate([logits, pad], axis=1)
 
 
-def build_fused_block_fn(spec: FusedBlockSpec, layout, interpret: bool = False):
+def _block_kernel_batched(
+    spec: FusedBlockSpec, layout, s: int, t: int, ta: int,
+    v_ref, a_ref, *param_refs,
+):
+    """S-samples-per-program variant over flattened token blocks
+    (v [S*T, Dv], a [S*Ta, Ds] -> logits [S, _LANES])."""
+    out_ref = param_refs[-1]
+    refs = param_refs[:-1]
+    p: Dict[str, jnp.ndarray] = {}
+    i = 0
+    for name, quantized in layout:
+        if quantized:
+            p[name] = refs[i][...].astype(jnp.float32) * refs[i + 1][...]
+            i += 2
+        else:
+            p[name] = refs[i][...]
+            i += 1
+
+    v_feat = v_ref[...]  # [S*T, Dv]
+    a_seq = a_ref[...]  # [S*Ta, Ds]
+
+    v = _dotf(v_feat, p["vin_w"]) + p["vin_b"]
+    a = _dotf(_dotf(a_seq, p["aseq_w"]) + p["aseq_b"], p["ain_w"]) + p["ain_b"]
+
+    Pv = _assign_matrix(s, t)
+    Pa = _assign_matrix(s, ta)
+    # Additive attention masks: 0 within a sample, -1e30 across samples.
+    mask_va = (_dot_nt(Pv, Pa, _HI) - 1.0) * 1e30  # [S*T, S*Ta]
+    mask_av = (_dot_nt(Pa, Pv, _HI) - 1.0) * 1e30  # [S*Ta, S*T]
+
+    v2a_bias, a2v_bias = mask_va, mask_av
+    if spec.use_prior:
+        pv2a, pa2v = _prior_bias_batched(v, a, Pv, Pa, t, ta, p, spec)
+        v2a_bias = pv2a + mask_va
+        a2v_bias = pa2v + mask_av
+
+    v2 = _mha(
+        v, a, p["v2a_in_wq"], p["v2a_in_bq"], p["v2a_in_wk"], p["v2a_in_bk"],
+        p["v2a_in_wv"], p["v2a_in_bv"], p["v2a_out_w"], p["v2a_out_b"],
+        v2a_bias, spec,
+    )
+    v_new = _layer_norm(v + v2, p["vn_s"], p["vn_b"])
+    # Reference ordering quirk: a2v consumes the UPDATED video tokens.
+    a2 = _mha(
+        a, v_new, p["a2v_in_wq"], p["a2v_in_bq"], p["a2v_in_wk"],
+        p["a2v_in_bk"], p["a2v_in_wv"], p["a2v_in_bv"], p["a2v_out_w"],
+        p["a2v_out_b"], a2v_bias, spec,
+    )
+    a_new = _layer_norm(a + a2, p["an_s"], p["an_b"])
+
+    if spec.pooling == "attn":
+        v_emb = _attn_pool_batched(
+            v_new, Pv, p["vp_ln_s"], p["vp_ln_b"], p["vp_w1"], p["vp_b1"],
+            p["vp_w2"], p["vp_b2"],
+        )
+        a_emb = _attn_pool_batched(
+            a_new, Pa, p["ap_ln_s"], p["ap_ln_b"], p["ap_w1"], p["ap_b1"],
+            p["ap_w2"], p["ap_b2"],
+        )
+    else:
+        v_emb = _mean_pool_batched(v_new, Pv, t)  # [S, d]
+        a_emb = _mean_pool_batched(a_new, Pa, ta)
+
+    fused_in = jnp.concatenate([v_emb, a_emb], axis=1)  # [S, 2d]
+    if spec.head == "concat":
+        hidden = jax.nn.relu(_dotf(fused_in, p["h_w1"]) + p["h_b1"])
+        logits = _dotf(hidden, p["h_w2"]) + p["h_b2"]
+    else:
+        g = jax.nn.sigmoid(
+            _dotf(jax.nn.relu(_dotf(fused_in, p["g_w1"]) + p["g_b1"]), p["g_w2"])
+            + p["g_b2"]
+        )
+        fused = g * v_emb + (1.0 - g) * a_emb
+        logits = _dotf(fused, p["c_w"]) + p["c_b"]
+
+    pad = jnp.zeros((s, _LANES - logits.shape[1]), jnp.float32)
+    out_ref[...] = jnp.concatenate([logits, pad], axis=1)
+
+
+def build_fused_block_fn(
+    spec: FusedBlockSpec,
+    layout,
+    interpret: bool = False,
+    samples_per_program: int = 8,
+):
     """-> fn(v_feat [B,T,Dv], a_seq [B,Ta,Ds], *param_args) -> logits [B,C].
 
     `layout` must be the static tuple returned by extract_block_params for
     the same spec/quantization pattern.
+
+    `samples_per_program` packs up to that many samples into one grid
+    program (largest divisor of B is used; 1 falls back to the original
+    per-sample kernel).  Batching amortizes per-program overhead and turns
+    the projections into S-times-taller MXU matmuls — the per-sample kernel
+    loses to the modular XLA graph at throughput batch for exactly these
+    reasons (RESULTS.md).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -432,6 +615,44 @@ def build_fused_block_fn(spec: FusedBlockSpec, layout, interpret: bool = False):
                 shape, lambda i, _s=shape: tuple(0 for _ in _s),
                 memory_space=pltpu.VMEM,
             )
+
+        # Mosaic constraint: a block's sublane (second-to-last) dim must be
+        # divisible by 8 (or equal the full array dim), so S*T and S*Ta must
+        # both be multiples of 8 — with Ta=149 (odd) that means S itself a
+        # multiple of 8.  Fall back to the per-sample kernel otherwise.
+        s = max(1, min(samples_per_program, b))
+        while s > 1 and (b % s or (s * t) % 8 or (s * ta) % 8):
+            s -= 1
+        if s > 1:
+            # Flattened [B*T, Dv] / [B*Ta, Ds] row blocks of S samples each;
+            # the leading-dim collapse is a free row-major reshape in XLA.
+            in_specs = [
+                pl.BlockSpec((s * t, dv), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s * ta, ds), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [const_spec(a) for a in param_args]
+            out = pl.pallas_call(
+                functools.partial(_block_kernel_batched, spec, layout, s, t, ta),
+                grid=(b // s,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (s, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, _LANES), jnp.float32),
+                # The a-side block alone is S*149*768*4 ~= 3.7 MB at S=8;
+                # with double-buffering plus the VMEM-resident intermediates
+                # the program exceeds Mosaic's default 16 MB scoped-vmem cap.
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=interpret,
+            )(
+                v_feat.astype(jnp.float32).reshape(b * t, dv),
+                a_seq.astype(jnp.float32).reshape(b * ta, ds),
+                *param_args,
+            )
+            return out[:, : spec.num_classes]
 
         in_specs = [
             pl.BlockSpec((1, t, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -76,3 +76,92 @@ def test_fused_output_shapes():
     _, _, params, v, a, *_ = _setup()
     out_v, out_a = fused_bidirectional_xattn(params, v, a, num_heads=H, interpret=True)
     assert out_v.shape == (B, D) and out_a.shape == (B, D)
+
+
+# ---------------------------------------------------------------------------
+# Batched (multi-sample-per-program) full-block kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pooling,head,prior",
+    [("mean", "concat", False), ("attn", "gated", False),
+     ("attn", "concat", True)],
+)
+def test_fused_block_batched_matches_modular(pooling, head, prior):
+    """S=8 samples-per-program variant of the full-block kernel == modular
+    FusionModel forward (interpret mode; the per-sample S=1 kernel is
+    covered via the runner tests)."""
+    from multimodalemotionrecognition_tpu.models.fusion import FusionModel
+    from multimodalemotionrecognition_tpu.ops.pallas_fused_block import (
+        FusedBlockSpec,
+        build_fused_block_fn,
+        extract_block_params,
+    )
+
+    class _FrameStub(nn.Module):
+        def encode_frames(self, video, train=False):
+            return video
+
+    class _SeqStub(nn.Module):
+        def encode_sequence(self, audio, train=False):
+            return audio
+
+    model = FusionModel(
+        audio_model=_SeqStub(), video_model=_FrameStub(), num_classes=8,
+        mode="xattn", xattn_head=head, d_model=D, xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0, temporal_pooling=pooling,
+        xattn_use_emotion_prior=prior,
+    )
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.randn(8, T, 512).astype(np.float32))
+    a = jnp.asarray(rng.randn(8, TA, 768).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), v, a)
+    spec = FusedBlockSpec(num_heads=H, d_model=D, pooling=pooling, head=head,
+                          use_prior=prior, num_classes=8)
+    args, layout = extract_block_params(variables["params"], spec, {})
+    fn = build_fused_block_fn(spec, layout, interpret=True,
+                              samples_per_program=8)
+    ref, _ = model.apply(variables, v, a)
+    np.testing.assert_allclose(
+        np.asarray(fn(v, a, *args)), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_block_batched_s_fallback():
+    """Ta=149 (odd) makes S*Ta % 8 != 0 for any S not a multiple of 8: the
+    builder must quietly fall back to the per-sample kernel (Mosaic rejects
+    non-8-divisible sublane block dims on hardware)."""
+    from multimodalemotionrecognition_tpu.models.fusion import FusionModel
+    from multimodalemotionrecognition_tpu.ops.pallas_fused_block import (
+        FusedBlockSpec,
+        build_fused_block_fn,
+        extract_block_params,
+    )
+
+    class _FrameStub(nn.Module):
+        def encode_frames(self, video, train=False):
+            return video
+
+    class _SeqStub(nn.Module):
+        def encode_sequence(self, audio, train=False):
+            return audio
+
+    model = FusionModel(
+        audio_model=_SeqStub(), video_model=_FrameStub(), num_classes=8,
+        mode="xattn", d_model=D, xattn_attn_dropout=0.0,
+        xattn_stochastic_depth=0.0,
+    )
+    rng = np.random.RandomState(4)
+    v = jnp.asarray(rng.randn(4, T, 512).astype(np.float32))
+    a = jnp.asarray(rng.randn(4, TA, 768).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), v, a)
+    spec = FusedBlockSpec(num_heads=H, d_model=D, pooling="mean",
+                          head="concat", use_prior=False, num_classes=8)
+    args, layout = extract_block_params(variables["params"], spec, {})
+    fn = build_fused_block_fn(spec, layout, interpret=True,
+                              samples_per_program=8)  # b=4 -> S falls to 1
+    ref, _ = model.apply(variables, v, a)
+    np.testing.assert_allclose(
+        np.asarray(fn(v, a, *args)), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
