@@ -62,6 +62,17 @@ class WavLMConfig:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     apply_spec_augment: bool = True
+    # HF WavLMEncoder LayerDrop (Fan et al. 2019): during training each
+    # encoder layer i>0 is skipped for the WHOLE batch with this probability
+    # (one scalar draw per layer per step, `torch.rand([])` in HF).  The
+    # reference trains with module.training=True even while the backbone is
+    # frozen (`src/models/wavlm_audio.py:165-183` only wraps in no_grad), so
+    # LayerDrop is active in its training regime.  Needs a "layerdrop" RNG
+    # stream; silently off without one (eval/parity paths unaffected).  We
+    # select with `where` instead of branching: XLA traces a static graph,
+    # so the skipped layer is still computed — identical distribution, no
+    # data-dependent control flow.
+    layerdrop: float = 0.1
     # Eval-path attention core: "auto" = fused Pallas kernel when running on
     # TPU (ops/pallas_wavlm_attn.py), modular XLA otherwise; True/False force;
     # "interpret" forces the kernel in interpreter mode (CPU tests).
@@ -505,6 +516,9 @@ class WavLMModel(nn.Module):
             tp_len = -(-t_logical // 16) * 16
             x = jnp.pad(x, ((0, 0), (0, tp_len - t_logical), (0, 0)))
 
+        layer_drop = (
+            train and cfg.layerdrop > 0.0 and self.has_rng("layerdrop")
+        )
         position_bias = None
         for i in range(cfg.num_hidden_layers):
             fused_i = i < n_fused
@@ -512,12 +526,20 @@ class WavLMModel(nn.Module):
                 x = x[:, :t_logical]
                 if position_bias is not None:
                     position_bias = position_bias[:, :t_logical, :t_logical]
-            x, position_bias = WavLMEncoderLayer(
+            x_new, position_bias = WavLMEncoderLayer(
                 config=cfg,
                 has_relative_position_bias=(i == 0),
                 dtype=dtype,
                 name=f"encoder.layers.{i}",
             )(x, position_bias, train=train, seq_len=t_logical, fused=fused_i)
+            if layer_drop and i > 0:
+                # Batch-level LayerDrop (HF WavLMEncoder.forward): one draw
+                # per layer per step; layer 0 always runs (it owns the
+                # relative-position bucket bias).
+                u = jax.random.uniform(self.make_rng("layerdrop"), ())
+                x = jnp.where(u < cfg.layerdrop, x, x_new)
+            else:
+                x = x_new
         if x.shape[1] != t_logical:
             x = x[:, :t_logical]
         return x

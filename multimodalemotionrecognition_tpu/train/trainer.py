@@ -49,7 +49,9 @@ from multimodalemotionrecognition_tpu.utils.seed import set_seed
 
 __all__ = ["TrainState", "EmotionTrainer"]
 
-_RNG_STREAMS = ("dropout", "droppath", "modality", "specaugment", "wavlm_mask")
+_RNG_STREAMS = (
+    "dropout", "droppath", "modality", "specaugment", "wavlm_mask", "layerdrop"
+)
 
 
 class TrainState(struct.PyTreeNode):
