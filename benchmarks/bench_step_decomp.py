@@ -41,8 +41,10 @@ def main() -> None:
         help="zero every dropout rate (isolates RNG/mask-generation cost)",
     )
     p.add_argument(
-        "--variants", default="fwd_eval,fwd_train,grad,full",
-        help="comma list from {fwd_eval,fwd_train,grad,full}",
+        "--variants", default="fwd_eval,fwd_train,grad",
+        help="comma list from {fwd_eval,fwd_train,grad,full}; 'full' costs "
+        "two extra scan-of-train-step compiles — the chained bench_train.py "
+        "number is usually what you want for it",
     )
     args = p.parse_args()
 
@@ -101,118 +103,115 @@ def main() -> None:
     labels = jnp.asarray(rng.randint(0, 8, b).astype(np.int32))
     valid = jnp.ones(b, bool)
 
-    def make_grad_only():
-        """value_and_grad of the step's loss (same static AD scope), but no
-        optimizer update — isolates fwd+bwd from Adam/apply."""
-        def grad_step(state, video, audio_wav, labels, valid, step_i):
-            rngk = jax.random.fold_in(state.rng, step_i)
-            rngs = {
-                name: jax.random.fold_in(rngk, i)
-                for i, name in enumerate(
-                    ("dropout", "droppath", "modality", "specaugment", "wavlm_mask")
-                )
-            }
-            audio_f = trainer._audio_features(audio_wav)
+    # Scan-slope methodology (benchmarks/RESULTS.md): run K iterations of
+    # each variant INSIDE one jit via lax.scan with a carry-perturbed input
+    # (defeats CSE/LICM), time at two scan lengths, and take the slope — the
+    # fixed per-call tunnel dispatch cost (~170 ms/RPC, which swamped a
+    # per-call chained loop at these sizes) cancels exactly.
+    from jax import lax
+
+    base_rng = jax.random.PRNGKey(123)
+    streams = (
+        "dropout", "droppath", "modality", "specaugment", "wavlm_mask",
+        "layerdrop",
+    )
+    rng_impl = tc.rng_impl
+    if rng_impl == "auto":
+        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    print(f"[decomp] rng_impl={rng_impl}", flush=True)
+
+    def _rngs_for(it):
+        rngk = jax.random.fold_in(base_rng, it)
+        if rng_impl == "rbg":  # mirror trainer._build_steps
+            rngk = jax.random.wrap_key_data(
+                jnp.tile(rngk.reshape(-1), 2)[:4], impl="rbg"
+            )
+        return {
+            name: jax.random.fold_in(rngk, i)
+            for i, name in enumerate(streams)
+        }
+
+    def _loss(params, batch_stats, audio_wav, train, rngs, static_scope):
+        audio_f = trainer._audio_features(audio_wav)
+        if static_scope:
             stages = (1, 2) if tc.two_stage_training else (0,)
             ever = None
             for s in stages:
-                m = trainable_mask(state.params, mc, tc, s)
+                m = trainable_mask(params, mc, tc, s)
                 ever = m if ever is None else jax.tree_util.tree_map(max, ever, m)
-
-            def loss_fn(params):
-                params = jax.tree_util.tree_map(
-                    lambda p, t: p if t > 0 else jax.lax.stop_gradient(p),
-                    params,
-                    ever,
-                )
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                outputs, aux, _ = trainer._apply(
-                    variables, video, audio_f, True, rngs, mutable=True
-                )
-                total, *_ = trainer._losses(outputs, aux, labels, valid)
-                return total
-
-            total, grads = jax.value_and_grad(loss_fn)(state.params)
-            # fold the grads into a scalar so nothing is dead-code-eliminated
-            gsum = sum(
-                jnp.sum(jnp.abs(g).astype(jnp.float32))
-                for g in jax.tree_util.tree_leaves(grads)
+            params = jax.tree_util.tree_map(
+                lambda p, t: p if t > 0 else jax.lax.stop_gradient(p),
+                params,
+                ever,
             )
-            return total + 0.0 * gsum
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, aux, _ = trainer._apply(
+            variables, video, audio_f, train, rngs, mutable=train
+        )
+        total, *_ = trainer._losses(outputs, aux, labels, valid)
+        return total
 
-        return jax.jit(grad_step)
-
-    def make_fwd(train: bool):
-        def fwd_step(params, batch_stats, video, audio_wav, labels, valid, step_i):
-            rngk = jax.random.fold_in(state.rng, step_i)
-            rngs = (
-                {
-                    name: jax.random.fold_in(rngk, i)
-                    for i, name in enumerate(
-                        ("dropout", "droppath", "modality", "specaugment",
-                         "wavlm_mask")
+    def make_loop(name, n):
+        if name == "full":
+            @jax.jit
+            def loop(state):
+                def body(st, _):
+                    st, total, *_ = trainer._train_step(
+                        st, video, audio, labels, valid, mask, lrs,
+                        np.float32(0.0),
                     )
-                }
-                if train
-                else None
-            )
-            audio_f = trainer._audio_features(audio_wav)
-            variables = {"params": params, "batch_stats": batch_stats}
-            outputs, aux, _ = trainer._apply(
-                variables, video, audio_f, train, rngs, mutable=train
-            )
-            total, *_ = trainer._losses(outputs, aux, labels, valid)
-            return total
+                    return st, total
 
-        return jax.jit(fwd_step)
+                st, totals = lax.scan(body, state, None, length=n)
+                return totals[-1]
+
+            return lambda: loop(state)
+
+        train = name != "fwd_eval"
+
+        @jax.jit
+        def loop(params, batch_stats, audio):
+            def body(carry, _):
+                acc, it = carry
+                a = audio + acc * 1e-24
+                rngs = _rngs_for(it) if train else None
+                if name == "grad":
+                    total, grads = jax.value_and_grad(
+                        lambda p: _loss(p, batch_stats, a, True, rngs, True)
+                    )(params)
+                    gsum = sum(
+                        jnp.sum(jnp.abs(g).astype(jnp.float32))
+                        for g in jax.tree_util.tree_leaves(grads)
+                    )
+                    total = total + 0.0 * gsum
+                else:
+                    total = _loss(params, batch_stats, a, train, rngs, False)
+                return (acc + total, it + 1), None
+
+            (acc, _), _ = lax.scan(
+                body, (jnp.float32(0.0), jnp.int32(0)), None, length=n
+            )
+            return acc
+
+        return lambda: loop(state.params, state.batch_stats, audio)
+
+    def timed(name, n, repeats=3):
+        loop = make_loop(name, n)
+        np.asarray(loop())  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(loop())
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     results = {}
     variants = args.variants.split(",")
+    n_lo, n_hi = max(2, args.iters // 4), args.iters
     for name in variants:
-        if name == "full":
-            # warm
-            st, total, *_ = trainer._train_step(
-                state, video, audio, labels, valid, mask, lrs, np.float32(0.0)
-            )
-            np.asarray(total)
-            t0 = time.perf_counter()
-            st = state
-            for _ in range(args.iters):
-                st, total, *_ = trainer._train_step(
-                    st, video, audio, labels, valid, mask, lrs, np.float32(0.0)
-                )
-            np.asarray(total)
-            dt = (time.perf_counter() - t0) / args.iters
-        elif name == "grad":
-            fn = make_grad_only()
-            out = fn(state, video, audio, labels, valid, jnp.int32(0))
-            np.asarray(out)
-            t0 = time.perf_counter()
-            carry = audio
-            for i in range(args.iters):
-                # chain through the audio input so steps serialize
-                out = fn(state, video, carry, labels, valid, jnp.int32(i))
-                carry = audio + 0.0 * out
-            np.asarray(out)
-            dt = (time.perf_counter() - t0) / args.iters
-        else:
-            train = name == "fwd_train"
-            fn = make_fwd(train)
-            out = fn(
-                state.params, state.batch_stats, video, audio, labels, valid,
-                jnp.int32(0),
-            )
-            np.asarray(out)
-            t0 = time.perf_counter()
-            carry = audio
-            for i in range(args.iters):
-                out = fn(
-                    state.params, state.batch_stats, video, carry, labels,
-                    valid, jnp.int32(i),
-                )
-                carry = audio + 0.0 * out
-            np.asarray(out)
-            dt = (time.perf_counter() - t0) / args.iters
+        t_lo = timed(name, n_lo)
+        t_hi = timed(name, n_hi)
+        dt = (t_hi - t_lo) / (n_hi - n_lo)
         results[name] = round(dt * 1000, 1)
         print(f"[decomp] {name}: {dt * 1000:.1f} ms", flush=True)
 

@@ -244,6 +244,18 @@ class TrainConfig:
     # ~30% extra FLOPs for a large activation-memory cut — lets batch sizes
     # grow past HBM limits.
     remat: bool = False
+    # PRNG implementation for the per-step stochastic streams (dropout,
+    # drop-path, modality dropout, SpecAugment, span masking, layerdrop).
+    # "threefry" is JAX's default counter-based PRNG: identical bits on any
+    # backend/topology, but ~470M mask draws per flagship step cost real VPU
+    # time.  "rbg" keeps threefry for key split/fold_in and generates the
+    # mask BITS with XLA's hardware RngBitGenerator — measured ~2x cheaper
+    # training-mode forward overhead on TPU.  Bits then differ across
+    # backends/shardings (dropout DISTRIBUTION is unchanged — the same
+    # tradeoff MaxText ships with unsafe_rbg); anything asserting
+    # cross-topology step equivalence should pin "threefry".
+    # "auto" = rbg on TPU, threefry elsewhere.
+    rng_impl: str = "auto"
 
 
 def _env(name: str, default: str) -> str:

@@ -180,6 +180,9 @@ class EmotionTrainer:
     def _build_steps(self):
         adam_core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self._adam_core = adam_core
+        rng_impl = self.tc.rng_impl
+        if rng_impl == "auto":
+            rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
 
         def train_step(
             state: TrainState,
@@ -192,6 +195,17 @@ class EmotionTrainer:
             reset_opt=np.float32(0.0),
         ):
             rng = jax.random.fold_in(state.rng, state.step)
+            if rng_impl == "rbg":
+                # TrainState.rng stays a legacy threefry key (stable orbax
+                # resume format); the per-step stream keys are re-wrapped as
+                # "rbg" keys so mask BITS come from XLA's hardware
+                # RngBitGenerator instead of ~470M threefry evaluations per
+                # step (see TrainConfig.rng_impl).  rbg keys still use
+                # threefry for fold_in, so flax's per-module folding is
+                # unchanged.
+                rng = jax.random.wrap_key_data(
+                    jnp.tile(rng.reshape(-1), 2)[:4], impl="rbg"
+                )
             rngs = {
                 name: jax.random.fold_in(rng, i)
                 for i, name in enumerate(_RNG_STREAMS)
@@ -245,13 +259,41 @@ class EmotionTrainer:
             (total, (cls_loss, contrastive, preds, updates)), grads = (
                 jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             )
+            # Static optimizer scope (companion of the static AD scope):
+            # Adam runs ONLY on leaves trainable in SOME stage of this run.
+            # `ever_trainable` is trace-time static, never-trainable leaves
+            # have symbolic-zero grads (stop_gradient above), exactly-zero
+            # mu/nu forever (init zero; decay of zero is zero; the reset
+            # flag multiplies by zero), and a runtime `mask` of 0 in every
+            # stage — so skipping them is numerically identical to the
+            # full-tree update while avoiding ~5 full-tree HBM passes over
+            # the frozen majority (e.g. ~80% of the flagship's 95M params in
+            # the two-stage finetune regime).  The flat sub-dicts are valid
+            # pytrees for optax; results merge back into the original nested
+            # structure, so TrainState/opt_state layout (and orbax resume
+            # format) are unchanged.
+            from flax.traverse_util import flatten_dict, unflatten_dict
+
+            live = {
+                k for k, v in flatten_dict(ever_trainable).items() if v > 0
+            }
+
+            def _sub(tree):
+                flat = flatten_dict(tree)
+                return {k: flat[k] for k in live}
+
+            def _merge(full, sub):
+                flat = dict(flatten_dict(full))
+                flat.update(sub)
+                return unflatten_dict(flat)
+
             # torch Adam semantics: L2 weight decay added to grads pre-Adam,
             # only on trainable params; frozen params get exactly zero update.
-            grads = jax.tree_util.tree_map(
+            grads_sub = jax.tree_util.tree_map(
                 lambda g, p, m: (g + self.tc.weight_decay * p) * m,
-                grads,
-                state.params,
-                mask,
+                _sub(grads),
+                _sub(state.params),
+                _sub(mask),
             )
             # Stage-flip optimizer reset as DATA, not a new executable: the
             # reference rebuilds torch.optim.Adam at the flip (`:1080`);
@@ -260,15 +302,33 @@ class EmotionTrainer:
             # compiled step — eagerly re-initializing opt_state outside jit
             # produced buffers whose layouts mismatched the donated outputs
             # and forced a full tunnel recompile (487 s measured in round 1).
-            opt_in = jax.tree_util.tree_map(
-                lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
-                state.opt_state,
+            opt_in = optax.ScaleByAdamState(
+                count=state.opt_state.count
+                * jnp.asarray(1.0 - reset_opt, state.opt_state.count.dtype),
+                mu=jax.tree_util.tree_map(
+                    lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
+                    _sub(state.opt_state.mu),
+                ),
+                nu=jax.tree_util.tree_map(
+                    lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
+                    _sub(state.opt_state.nu),
+                ),
             )
-            deltas, opt_state = adam_core.update(grads, opt_in, state.params)
-            deltas = jax.tree_util.tree_map(
-                lambda d, lr, m: -lr * d * m, deltas, lrs, mask
+            deltas_sub, opt_out = adam_core.update(
+                grads_sub, opt_in, _sub(state.params)
             )
-            params = optax.apply_updates(state.params, deltas)
+            opt_state = optax.ScaleByAdamState(
+                count=opt_out.count,
+                mu=_merge(state.opt_state.mu, opt_out.mu),
+                nu=_merge(state.opt_state.nu, opt_out.nu),
+            )
+            deltas_sub = jax.tree_util.tree_map(
+                lambda d, lr, m: -lr * d * m, deltas_sub, _sub(lrs), _sub(mask)
+            )
+            params = _merge(
+                state.params,
+                optax.apply_updates(_sub(state.params), deltas_sub),
+            )
             new_state = state.replace(
                 params=params,
                 batch_stats=updates.get("batch_stats", state.batch_stats),
