@@ -256,6 +256,18 @@ class TrainConfig:
     # cross-topology step equivalence should pin "threefry".
     # "auto" = rbg on TPU, threefry elsewhere.
     rng_impl: str = "auto"
+    # Optimizer-update layout.  The live (ever-trainable) sub-tree holds
+    # O(100) leaves; running Adam per leaf emits hundreds of tiny elementwise
+    # kernels whose launch/fusion-boundary overhead dwarfs the actual HBM
+    # traffic (measured 11.6 ms vs ~1 ms roofline at flagship stage-2 b64).
+    # "flat" concatenates the live leaves into ONE f32 buffer, runs the whole
+    # Adam + weight-decay + LR/mask chain as a single fused pass, and slices
+    # the results back — same scalar ops in the same order (identical up to
+    # ~1 ulp of FMA-contraction rounding; TestFlatOptimizer asserts it).
+    # TrainState/opt_state layout is unchanged.
+    # "auto" = flat on a single-device mesh, per-leaf otherwise (flat concat
+    # would force all-gathers on TP-sharded params); "on"/"off" force it.
+    flat_optimizer: str = "auto"
 
 
 def _env(name: str, default: str) -> str:

@@ -183,6 +183,12 @@ class EmotionTrainer:
         rng_impl = self.tc.rng_impl
         if rng_impl == "auto":
             rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+        mesh_devices = (
+            int(np.prod(self.mesh.devices.shape)) if self.mesh is not None else 1
+        )
+        use_flat_opt = self.tc.flat_optimizer == "on" or (
+            self.tc.flat_optimizer == "auto" and mesh_devices == 1
+        )
 
         def train_step(
             state: TrainState,
@@ -286,6 +292,77 @@ class EmotionTrainer:
                 flat = dict(flatten_dict(full))
                 flat.update(sub)
                 return unflatten_dict(flat)
+
+            if use_flat_opt:
+                # Flat optimizer update (see TrainConfig.flat_optimizer): the
+                # whole Adam + weight-decay + LR/mask chain runs on ONE
+                # concatenated f32 buffer instead of per-leaf — same scalar
+                # ops in the same order (identical to the per-leaf path up
+                # to FMA-contraction rounding, ~1 ulp; TestFlatOptimizer
+                # asserts allclose), but XLA emits a
+                # handful of large fused kernels instead of O(100 leaves)
+                # tiny ones.  opt_state keeps its per-leaf layout (orbax
+                # resume format unchanged); the slices back are pure copies.
+                keys = sorted(live)
+                p_d = _sub(state.params)
+                sizes = [int(np.prod(p_d[k].shape)) for k in keys]
+                offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+                def _cat(d):
+                    return jnp.concatenate(
+                        [d[k].reshape(-1).astype(jnp.float32) for k in keys]
+                    )
+
+                def _cat_scalars(d):
+                    # Per-leaf runtime scalars (mask / lr) broadcast into
+                    # segment-constant flat vectors.
+                    return jnp.concatenate([
+                        jnp.broadcast_to(
+                            jnp.asarray(d[k], jnp.float32), (n,)
+                        )
+                        for k, n in zip(keys, sizes)
+                    ])
+
+                def _split(flat, like):
+                    return {
+                        k: jax.lax.slice(flat, (int(o),), (int(o) + n,))
+                        .reshape(like[k].shape)
+                        .astype(like[k].dtype)
+                        for k, o, n in zip(keys, offsets[:-1], sizes)
+                    }
+
+                b1, b2, eps = 0.9, 0.999, 1e-8
+                keep = jnp.asarray(1.0 - reset_opt, jnp.float32)
+                p_f = _cat(p_d)
+                mask_f = _cat_scalars(_sub(mask))
+                g_f = (_cat(_sub(grads)) + self.tc.weight_decay * p_f) * mask_f
+                mu_f = _cat(_sub(state.opt_state.mu)) * keep
+                nu_f = _cat(_sub(state.opt_state.nu)) * keep
+                count = state.opt_state.count * jnp.asarray(
+                    1.0 - reset_opt, state.opt_state.count.dtype
+                )
+                # Same expressions as optax.scale_by_adam's update_fn.
+                mu_f = (1 - b1) * g_f + b1 * mu_f
+                nu_f = (1 - b2) * g_f**2 + b2 * nu_f
+                count_inc = optax.safe_increment(count)
+                mu_hat = mu_f / (1 - b1**count_inc).astype(mu_f.dtype)
+                nu_hat = nu_f / (1 - b2**count_inc).astype(nu_f.dtype)
+                delta_f = mu_hat / (jnp.sqrt(nu_hat + 0.0) + eps)
+                p_new_f = p_f + -_cat_scalars(_sub(lrs)) * delta_f * mask_f
+
+                opt_state = optax.ScaleByAdamState(
+                    count=count_inc,
+                    mu=_merge(state.opt_state.mu, _split(mu_f, p_d)),
+                    nu=_merge(state.opt_state.nu, _split(nu_f, p_d)),
+                )
+                params = _merge(state.params, _split(p_new_f, p_d))
+                new_state = state.replace(
+                    params=params,
+                    batch_stats=updates.get("batch_stats", state.batch_stats),
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                )
+                return new_state, total, cls_loss, contrastive, preds
 
             # torch Adam semantics: L2 weight decay added to grads pre-Adam,
             # only on trainable params; frozen params get exactly zero update.
