@@ -239,6 +239,13 @@ class TrainConfig:
     wandb: bool = False
     # TPU-specific
     donate_buffers: bool = True
+    # Video wire format between the host loader and the jitted step.
+    # "uint8" ships post-blur uint8 pixels + per-sample (brightness, noise
+    # sigma) scalars and replays the reference's float augmentation tail on
+    # device (4x less H2D traffic, exact semantics — see
+    # data.media.load_video_frames_u8); "float32" ships host-augmented
+    # normalized frames.  "auto" = uint8 on TPU, float32 elsewhere.
+    video_wire: str = "auto"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
     # Rematerialize the forward during backprop (jax.checkpoint): trades
     # ~30% extra FLOPs for a large activation-memory cut — lets batch sizes
@@ -262,8 +269,12 @@ class TrainConfig:
     # traffic (measured 11.6 ms vs ~1 ms roofline at flagship stage-2 b64).
     # "flat" concatenates the live leaves into ONE f32 buffer, runs the whole
     # Adam + weight-decay + LR/mask chain as a single fused pass, and slices
-    # the results back — same scalar ops in the same order (identical up to
-    # ~1 ulp of FMA-contraction rounding; TestFlatOptimizer asserts it).
+    # the results back — same scalar ops in the same order.  Given identical
+    # gradients the layouts agree to a few ulps; end-to-end the layout also
+    # changes how XLA fuses the BACKWARD, and Adam amplifies that rounding on
+    # near-zero-grad elements to ~lr*1e-2-scale param drift per step on a
+    # handful of params (machine-dependent; see trainer.masked_adam_update
+    # and TestFlatOptimizer for the quantified bound).
     # TrainState/opt_state layout is unchanged.
     # "auto" = flat on a single-device mesh, per-leaf otherwise (flat concat
     # would force all-gathers on TP-sharded params); "on"/"off" force it.

@@ -25,6 +25,7 @@ from __future__ import annotations
 import threading
 from pathlib import Path
 from typing import Optional, Protocol, Tuple
+from xml.etree.ElementTree import ParseError as ET_ParseError
 
 import numpy as np
 
@@ -229,6 +230,81 @@ class BlazeFaceDetector:
         return (px0, py0, px1 - px0, py1 - py0)
 
 
+class HaarFaceDetector:
+    """Haar-cascade frontal-face detector (real OpenCV weights).
+
+    An offline-available detector TRAINED ON REAL FACES (unlike the bundled
+    BlazeFace's synthetic pretraining) — useful both as a deployable
+    detector (EMO_FACE_DETECTOR=haar) and as the independent third oracle in
+    the face-crop parity triangulation (tools/face_crop_parity.py), standing
+    in for the reference's MediaPipe detector
+    (`src/utils/face_crop.py:40-148`) which needs egress to fetch.
+
+    Runs through cv2.CascadeClassifier when the binding exists; OpenCV 5.x
+    removed it from Python, so the default engine is the numpy Viola-Jones
+    evaluator (`data/haar.py`) reading the same system XML weights."""
+
+    def __init__(
+        self, cascade_path: Optional[str] = None, min_neighbors: int = 3
+    ):
+        from multimodalemotionrecognition_tpu.data.haar import find_cascade_xml
+
+        self.min_neighbors = min_neighbors
+        path = Path(cascade_path) if cascade_path else find_cascade_xml()
+        self._cv2_cascade = None
+        self._np_cascade = None
+        if path is None or not Path(path).exists():
+            return
+        import cv2
+
+        if hasattr(cv2, "CascadeClassifier"):
+            cascade = cv2.CascadeClassifier(str(path))
+            if not cascade.empty():
+                self._cv2_cascade = cascade
+                return
+        from multimodalemotionrecognition_tpu.data.haar import HaarCascade
+
+        try:
+            self._np_cascade = HaarCascade(path)
+        except (ValueError, ET_ParseError):
+            self._np_cascade = None
+
+    @property
+    def available(self) -> bool:
+        return self._cv2_cascade is not None or self._np_cascade is not None
+
+    def detect_face_bbox(self, image_rgb: np.ndarray) -> Optional[Bbox]:
+        if not self.available:
+            return None
+        if image_rgb.ndim != 3 or image_rgb.shape[-1] != 3:
+            return None
+        img = image_rgb
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 if img.max() <= 1.5 else img, 0, 255).astype(
+                np.uint8
+            )
+        # ITU-R BT.601 luma, matching cv2.COLOR_RGB2GRAY.
+        gray = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.uint8)
+        if self._cv2_cascade is not None:
+            faces = self._cv2_cascade.detectMultiScale(
+                gray, scaleFactor=1.1, minNeighbors=self.min_neighbors,
+                minSize=(24, 24),
+            )
+            faces = [tuple(int(v) for v in f) for f in faces]
+        else:
+            faces = self._np_cascade.detect_multi_scale(
+                gray, scale_factor=1.1, min_neighbors=self.min_neighbors,
+                min_size=24,
+            )
+        if not len(faces):
+            return None
+        # Largest face, like the reference's top detection.
+        x, y, w, h = max(faces, key=lambda f: f[2] * f[3])
+        return (int(x), int(y), int(w), int(h))
+
+
 _detector_lock = threading.Lock()
 _detector: Optional[FaceDetector] = None
 _detector_initialized = False
@@ -242,16 +318,24 @@ def get_face_detector() -> Optional[FaceDetector]:
     time; the special value ``bundled`` selects the checked-in synthetically
     pretrained weights (`tools/train_blazeface_synth.py`). Otherwise the
     dependency-free heuristic is used — it is validated on real skin chroma,
-    while the bundled net has only synthetic-scene validation."""
+    while the bundled net has only synthetic-scene validation.
+    `EMO_FACE_DETECTOR={heuristic,haar,blazeface}` forces a family
+    explicitly (haar = OpenCV's real-face-trained frontal cascade)."""
     global _detector, _detector_initialized
     with _detector_lock:
         if not _detector_initialized:
             import os
 
+            family = os.environ.get("EMO_FACE_DETECTOR", "")
             weights = os.environ.get("EMO_BLAZEFACE_WEIGHTS", "")
-            if weights == "bundled":
+            if weights == "bundled" or family == "blazeface" and not weights:
                 weights = str(BUNDLED_BLAZEFACE_WEIGHTS)
-            if weights and Path(weights).exists():
+            if family == "haar":
+                haar = HaarFaceDetector()
+                _detector = haar if haar.available else HeuristicFaceDetector()
+            elif family == "heuristic":
+                _detector = HeuristicFaceDetector()
+            elif weights and Path(weights).exists():
                 _detector = BlazeFaceDetector(weights)
             else:
                 _detector = HeuristicFaceDetector()

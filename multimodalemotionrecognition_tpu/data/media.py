@@ -37,6 +37,8 @@ from multimodalemotionrecognition_tpu.ops.image import uniform_frame_indices
 
 __all__ = [
     "load_video_frames",
+    "load_video_frames_u8",
+    "decode_video_frames_u8",
     "load_audio_wav",
     "load_audio_mel",
     "decode_wav_bytes",
@@ -333,40 +335,28 @@ def _load_video_frames_native(
     return out
 
 
-def load_video_frames(
+def decode_video_frames_u8(
     video_path: Path | str,
     num_frames: int = 8,
     size: int = 112,
-    augment: bool = False,
     use_face_crop: bool = True,
     bbox=None,
-    rng=None,
-    normalize: bool = True,
 ) -> np.ndarray:
-    """Decode + preprocess video to [T, 3, size, size]
-    (reference `load_video_frames`, `src/data/ravdess.py:280-390`).
+    """Decode + sample + face-crop + resize to uint8 [T, size, size, 3] RGB.
 
-    Face bbox is detected on the FIRST sampled frame only and reused
-    (`:314-348`); pass `bbox` explicitly to inject reference crops for parity
-    runs.  Failures fall back to the full frame silently.
-
-    Decode runs through the in-process C++ libav loader when built
-    (EMO_NATIVE_DECODE=0 forces the cv2 path); semantics are identical, the
-    resize filter differs by <2/255 per pixel (bilinear swscale vs cv2).
-    """
+    The shared decode stage of `load_video_frames` (reference
+    `src/data/ravdess.py:280-357`): uniform sampling, bbox detected on the
+    FIRST sampled frame only and reused (`:314-348`), 30%-padded crop,
+    bilinear resize.  Runs through the in-process C++ libav loader when
+    built (EMO_NATIVE_DECODE=0 forces the cv2 path); semantics are
+    identical, the resize filter differs by <2/255 per pixel (bilinear
+    swscale vs cv2)."""
     if _native_decode_enabled():
         native = _load_video_frames_native(
             video_path, num_frames, size, use_face_crop, bbox
         )
         if native is not None:
-            arr = native.astype(np.float32) / 255.0  # [T,H,W,3]
-            if augment:
-                arr = augment_video_frames(arr, rng=rng)
-            if normalize:
-                mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
-                std = np.asarray(IMAGENET_STD, dtype=np.float32)
-                arr = (arr - mean) / std
-            return arr.transpose(0, 3, 1, 2)
+            return native
 
     import cv2
 
@@ -405,13 +395,80 @@ def load_video_frames(
         frames = [np.zeros((size, size, 3), dtype=np.uint8)] * num_frames
     if len(frames) < num_frames:
         frames.extend([frames[-1]] * (num_frames - len(frames)))
-    arr = np.stack(frames[:num_frames]).astype(np.float32) / 255.0  # [T,H,W,3]
+    return np.stack(frames[:num_frames])  # [T,H,W,3] uint8
 
+
+def load_video_frames(
+    video_path: Path | str,
+    num_frames: int = 8,
+    size: int = 112,
+    augment: bool = False,
+    use_face_crop: bool = True,
+    bbox=None,
+    rng=None,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Decode + preprocess video to float32 [T, 3, size, size]
+    (reference `load_video_frames`, `src/data/ravdess.py:280-390`):
+    `decode_video_frames_u8` then /255, train-time augmentation and ImageNet
+    normalization on the host."""
+    arr = (
+        decode_video_frames_u8(video_path, num_frames, size, use_face_crop, bbox)
+        .astype(np.float32)
+        / 255.0
+    )  # [T,H,W,3]
     if augment:
         arr = augment_video_frames(arr, rng=rng)
-
     if normalize:
         mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
         std = np.asarray(IMAGENET_STD, dtype=np.float32)
         arr = (arr - mean) / std
     return arr.transpose(0, 3, 1, 2)  # [T, 3, H, W]
+
+
+def load_video_frames_u8(
+    video_path: Path | str,
+    num_frames: int = 8,
+    size: int = 112,
+    augment: bool = False,
+    use_face_crop: bool = True,
+    bbox=None,
+    rng=None,
+) -> tuple:
+    """uint8-wire variant for the pipelined trainer: 4x less host->device
+    traffic than the float path with EXACT reference semantics.
+
+    The reference augmentation (`src/data/ravdess.py:366-384`) round-trips
+    each frame through uint8 for the Gaussian blur, so uint8 frames AFTER
+    the blur carry the full augmented signal; the remaining float ops
+    (brightness x factor, + Gaussian noise, clip, ImageNet normalize) are
+    per-sample-scalar-parameterized and replay exactly on device inside the
+    jitted train step (EmotionTrainer._device_video).  Draw ORDER from
+    `rng` (factor, noise_scale, ksize) matches `augment_video_frames`, so
+    a given per-sample rng yields the same augmentation parameters on
+    either wire.
+
+    Returns (frames_u8 [T, 3, size, size], brightness_factor, noise_sigma);
+    factor=1.0 / sigma=0.0 when augment=False (the device replay is then
+    the plain /255 + normalize of the eval path).
+    """
+    u8 = decode_video_frames_u8(video_path, num_frames, size, use_face_crop, bbox)
+    factor, sigma = 1.0, 0.0
+    if augment:
+        import cv2
+
+        r = rng or np.random
+        factor = float(r.uniform(0.2, 0.6))
+        sigma = float(r.uniform(0.0, 0.0005))
+        ksize = int(r.choice([3, 5, 7]))
+        # The reference's float01 -> uint8 -> blur -> float01 round-trip is
+        # an exact identity on the uint8 side ((u8/255*255).astype(u8) == u8
+        # for all 256 values), so blurring the decoded uint8 directly is
+        # byte-identical to `augment_video_frames`'s blur stage.
+        u8 = np.stack(
+            [
+                cv2.GaussianBlur(u8[i], (ksize, ksize), 0)
+                for i in range(u8.shape[0])
+            ]
+        )
+    return u8.transpose(0, 3, 1, 2), factor, sigma

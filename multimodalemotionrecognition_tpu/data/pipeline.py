@@ -26,6 +26,7 @@ from multimodalemotionrecognition_tpu.data.media import (
     load_audio_wav,
     load_noise_bank,
     load_video_frames,
+    load_video_frames_u8,
 )
 from multimodalemotionrecognition_tpu.data.ravdess import PairRecord, map_emotion_label
 
@@ -35,13 +36,23 @@ __all__ = ["Batch", "EmotionSampleLoader", "BatchedLoader", "build_loaders"]
 @dataclass
 class Batch:
     """One device-ready batch.  `audio` is the raw waveform [B, 1, 48000] —
-    mel extraction happens on-device inside the jitted forward."""
+    mel extraction happens on-device inside the jitted forward.
 
-    video: np.ndarray  # [B, T, 3, H, W] float32, ImageNet-normalized
+    Two video wire formats (EmotionSampleLoader(wire=...)):
+      * "float32": [B,T,3,H,W] float32, host-augmented + ImageNet-normalized
+        (`aug` is None);
+      * "uint8": [B,T,3,H,W] uint8 post-blur pixels with `aug` [B,2] =
+        (brightness_factor, noise_sigma) per sample — 4x less H2D traffic;
+        the jitted train step replays brightness/noise/clip/normalize on
+        device (exact reference semantics, see media.load_video_frames_u8).
+    """
+
+    video: np.ndarray  # [B, T, 3, H, W] float32 normalized, or uint8 wire
     audio: np.ndarray  # [B, 1, samples] float32
     labels: np.ndarray  # [B] int32
     valid: np.ndarray  # [B] bool — False on zero-padded tail entries
     meta: List[Dict[str, int]]
+    aug: Optional[np.ndarray] = None  # [B, 2] float32 on the uint8 wire
 
     @property
     def size(self) -> int:
@@ -52,9 +63,12 @@ class EmotionSampleLoader:
     """Per-sample decode matching the reference datasets
     (`src/data/ravdess.py:581-654`)."""
 
-    def __init__(self, config: DataConfig, augment: bool = False):
+    def __init__(self, config: DataConfig, augment: bool = False, wire: str = "float32"):
+        if wire not in ("float32", "uint8"):
+            raise ValueError(f"wire must be 'float32' or 'uint8'; got {wire!r}")
         self.config = config
         self.augment = augment
+        self.wire = wire
         self._noise = (
             load_noise_bank(config.noise_wav, config.audio.sample_rate)
             if augment
@@ -63,14 +77,25 @@ class EmotionSampleLoader:
 
     def __call__(self, pair: PairRecord, rng: Optional[np.random.RandomState] = None):
         cfg = self.config
-        video = load_video_frames(
-            pair.video_path,
-            num_frames=cfg.video.num_frames,
-            size=cfg.video.size,
-            augment=self.augment,
-            use_face_crop=cfg.use_face_crop,
-            rng=rng,
-        )
+        if self.wire == "uint8":
+            video, factor, sigma = load_video_frames_u8(
+                pair.video_path,
+                num_frames=cfg.video.num_frames,
+                size=cfg.video.size,
+                augment=self.augment,
+                use_face_crop=cfg.use_face_crop,
+                rng=rng,
+            )
+            video = (video, np.array([factor, sigma], dtype=np.float32))
+        else:
+            video = load_video_frames(
+                pair.video_path,
+                num_frames=cfg.video.num_frames,
+                size=cfg.video.size,
+                augment=self.augment,
+                use_face_crop=cfg.use_face_crop,
+                rng=rng,
+            )
         audio = load_audio_wav(
             pair.audio_path,
             sample_rate=cfg.audio.sample_rate,
@@ -135,16 +160,27 @@ class BatchedLoader:
     def _assemble(self, samples, n_valid: int) -> Batch:
         b = self.batch_size if self.pad_last else n_valid
         videos, audios, labels, metas = zip(*samples)
-        video = np.zeros((b,) + videos[0].shape, dtype=np.float32)
+        aug = None
+        if isinstance(videos[0], tuple):  # uint8 wire: (frames_u8, aug[2])
+            video = np.zeros((b,) + videos[0][0].shape, dtype=np.uint8)
+            aug = np.tile(np.array([1.0, 0.0], np.float32), (b, 1))
+            for i in range(n_valid):
+                video[i], aug[i] = videos[i]
+        else:
+            video = np.zeros((b,) + videos[0].shape, dtype=np.float32)
+            for i in range(n_valid):
+                video[i] = videos[i]
         audio = np.zeros((b,) + audios[0].shape, dtype=np.float32)
         label_arr = np.zeros((b,), dtype=np.int32)
         valid = np.zeros((b,), dtype=bool)
         for i in range(n_valid):
-            video[i] = videos[i]
             audio[i] = audios[i]
             label_arr[i] = labels[i]
             valid[i] = True
-        return Batch(video=video, audio=audio, labels=label_arr, valid=valid, meta=list(metas))
+        return Batch(
+            video=video, audio=audio, labels=label_arr, valid=valid,
+            meta=list(metas), aug=aug,
+        )
 
     def __iter__(self) -> Iterator[Batch]:
         order = self._epoch_order()
@@ -201,10 +237,14 @@ def auto_num_threads(requested: int = -1) -> int:
     return min(8, max(2, cpus // 2))
 
 
-def build_loaders(config: DataConfig, batch_size: int, num_workers: int = -1):
+def build_loaders(
+    config: DataConfig, batch_size: int, num_workers: int = -1,
+    wire: str = "float32",
+):
     """Pairs -> (train, val, test) loaders; mirrors `build_dataloaders`
     (`src/train.py:76-182`): pairs.csv written, stratified seed-42 or
-    actor-based splits, augmentation on train only."""
+    actor-based splits, augmentation on train only.  wire="uint8" selects
+    the low-traffic device-augment video wire (see Batch)."""
     from multimodalemotionrecognition_tpu.data.ravdess import (
         build_pairs,
         save_pairs_csv,
@@ -234,18 +274,18 @@ def build_loaders(config: DataConfig, batch_size: int, num_workers: int = -1):
     threads = auto_num_threads(num_workers)
     train_loader = BatchedLoader(
         train_p,
-        EmotionSampleLoader(config, augment=config.train_augment),
+        EmotionSampleLoader(config, augment=config.train_augment, wire=wire),
         batch_size,
         shuffle=True,
         seed=config.seed,
         num_threads=threads,
     )
     val_loader = BatchedLoader(
-        val_p, EmotionSampleLoader(config, augment=False), batch_size,
+        val_p, EmotionSampleLoader(config, augment=False, wire=wire), batch_size,
         num_threads=threads,
     )
     test_loader = BatchedLoader(
-        test_p, EmotionSampleLoader(config, augment=False), batch_size,
+        test_p, EmotionSampleLoader(config, augment=False, wire=wire), batch_size,
         num_threads=threads,
     )
     return train_loader, val_loader, test_loader

@@ -86,6 +86,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_face_crop", dest="use_face_crop", action="store_false")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--video_wire", type=str, default="auto",
+        choices=["auto", "uint8", "float32"],
+        help="host->device video format: uint8 = post-blur pixels + "
+        "on-device augment tail (4x less transfer); auto = uint8 on TPU",
+    )
     p.add_argument("--mesh_data", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel mesh size")
     p.add_argument(
@@ -152,6 +158,7 @@ def configs_from_args(args: argparse.Namespace):
         output_dir=args.output_dir,
         wandb=args.wandb,
         mesh_shape=(args.mesh_data, args.mesh_model) if args.mesh_data else None,
+        video_wire=args.video_wire,
     )
     data = DataConfig(
         data_root=args.data_root,
@@ -189,8 +196,13 @@ def main(argv=None) -> None:
     from multimodalemotionrecognition_tpu.data.pipeline import build_loaders
     from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
 
+    wire = train_cfg.video_wire
+    if wire == "auto":
+        import jax
+
+        wire = "uint8" if jax.default_backend() == "tpu" else "float32"
     train_loader, val_loader, test_loader = build_loaders(
-        data_cfg, train_cfg.batch_size, num_workers=args.num_workers
+        data_cfg, train_cfg.batch_size, num_workers=args.num_workers, wire=wire
     )
     print(
         f"Train pairs: {train_loader.num_samples} | "

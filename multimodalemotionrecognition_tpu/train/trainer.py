@@ -50,7 +50,8 @@ from multimodalemotionrecognition_tpu.utils.seed import set_seed
 __all__ = ["TrainState", "EmotionTrainer"]
 
 _RNG_STREAMS = (
-    "dropout", "droppath", "modality", "specaugment", "wavlm_mask", "layerdrop"
+    "dropout", "droppath", "modality", "specaugment", "wavlm_mask",
+    "layerdrop", "videoaug",
 )
 
 
@@ -76,6 +77,129 @@ def _nll_on_probs(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Late fusion: NLLLoss over log(p + 1e-8) (reference `:212-214`)."""
     log_probs = jnp.log(probs + 1e-8)
     return -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+
+
+# Single source of truth for Adam hyperparameters — both optimizer layouts
+# (per-leaf optax and the flat concatenated path) read these, so they cannot
+# silently desynchronize.  Values match torch.optim.Adam defaults used by the
+# reference (`src/train.py:855-872`).
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
+def masked_adam_update(
+    opt_state: optax.ScaleByAdamState,
+    params,
+    grads,
+    mask,
+    lrs,
+    reset_opt,
+    weight_decay: float,
+    *,
+    flat: bool,
+):
+    """Masked Adam + L2 weight-decay update over one (sub-)tree.
+
+    torch Adam semantics (reference `src/train.py:227-228` + param groups):
+    L2 decay is added to grads pre-Adam, only on trainable params (`mask`
+    is a per-leaf 0/1 scalar tree); frozen params get exactly zero update.
+    `reset_opt` (0.0/1.0 traced data) first multiplies (count, mu, nu) by
+    (1 - reset_opt) — numerically identical to a fresh scale_by_adam init,
+    which keeps the reference's stage-flip optimizer rebuild (`:1080`)
+    inside ONE compiled executable.
+
+    Two layouts computing the same scalar ops in the same order:
+
+    * ``flat=False`` — optax.scale_by_adam per leaf.
+    * ``flat=True`` — all leaves concatenated into one f32 buffer so XLA
+      emits a handful of large fused kernels instead of O(100 leaves) tiny
+      ones (see TrainConfig.flat_optimizer).  Given IDENTICAL gradient
+      inputs the layouts agree to a few ulps (asserted by
+      TestFlatOptimizer::test_layout_equivalence_isolated).  Inside a full
+      train step, however, the layout also changes how XLA fuses the
+      BACKWARD pass, and Adam's mu/(sqrt(nu)+eps) amplifies that
+      codegen-dependent grad rounding wherever nu ~ eps^2 (near-zero
+      gradients): a ~1e-9 absolute grad difference can move the unit-scale
+      Adam delta by ~1e-2, i.e. ~lr*1e-2 per step on a handful of params.
+      The end-to-end bound is therefore machine-dependent — see the
+      TestFlatOptimizer docstring for the justified tolerance.
+
+    Returns ``(new_params, new_opt_state)``; opt_state keeps the per-leaf
+    layout either way (orbax resume format unchanged).
+    """
+    keep_count = jnp.asarray(1.0 - reset_opt, opt_state.count.dtype)
+    count = opt_state.count * keep_count
+    leaves_p, treedef = jax.tree_util.tree_flatten(params)
+    if not flat or not leaves_p:
+        keep = jnp.asarray(1.0 - reset_opt, jnp.float32)
+        opt_in = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(
+                lambda x: x * keep.astype(x.dtype), opt_state.mu
+            ),
+            nu=jax.tree_util.tree_map(
+                lambda x: x * keep.astype(x.dtype), opt_state.nu
+            ),
+        )
+        grads_wd = jax.tree_util.tree_map(
+            lambda g, p, m: (g + weight_decay * p) * m, grads, params, mask
+        )
+        adam = optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+        deltas, opt_out = adam.update(grads_wd, opt_in, params)
+        deltas = jax.tree_util.tree_map(
+            lambda d, lr, m: -lr * d * m, deltas, lrs, mask
+        )
+        return optax.apply_updates(params, deltas), opt_out
+
+    sizes = [int(np.prod(p.shape)) for p in leaves_p]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def _cat(tree):
+        return jnp.concatenate(
+            [
+                x.reshape(-1).astype(jnp.float32)
+                for x in treedef.flatten_up_to(tree)
+            ]
+        )
+
+    def _cat_scalars(tree):
+        # Per-leaf runtime scalars (mask / lr) broadcast into
+        # segment-constant flat vectors.
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n,))
+                for x, n in zip(treedef.flatten_up_to(tree), sizes)
+            ]
+        )
+
+    def _split(flat_vec):
+        leaves = [
+            jax.lax.slice(flat_vec, (int(o),), (int(o) + n,))
+            .reshape(p.shape)
+            .astype(p.dtype)
+            for p, o, n in zip(leaves_p, offsets[:-1], sizes)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    keep = jnp.asarray(1.0 - reset_opt, jnp.float32)
+    p_f = _cat(params)
+    mask_f = _cat_scalars(mask)
+    g_f = (_cat(grads) + weight_decay * p_f) * mask_f
+    mu_f = _cat(opt_state.mu) * keep
+    nu_f = _cat(opt_state.nu) * keep
+    # Same expressions as optax.scale_by_adam's update_fn.
+    mu_f = (1 - ADAM_B1) * g_f + ADAM_B1 * mu_f
+    nu_f = (1 - ADAM_B2) * g_f**2 + ADAM_B2 * nu_f
+    count_inc = optax.safe_increment(count)
+    mu_hat = mu_f / (1 - ADAM_B1**count_inc).astype(mu_f.dtype)
+    nu_hat = nu_f / (1 - ADAM_B2**count_inc).astype(nu_f.dtype)
+    delta_f = mu_hat / (jnp.sqrt(nu_hat + 0.0) + ADAM_EPS)
+    p_new_f = p_f + -_cat_scalars(lrs) * delta_f * mask_f
+    opt_out = optax.ScaleByAdamState(
+        count=count_inc, mu=_split(mu_f), nu=_split(nu_f)
+    )
+    return _split(p_new_f), opt_out
 
 
 class EmotionTrainer:
@@ -145,6 +269,34 @@ class EmotionTrainer:
             aux = {"alignment_loss": None}
         return out, aux, updates
 
+    def _device_video(self, video, aug, rngs):
+        """uint8-wire device replay of the reference's float augmentation
+        tail (`src/data/ravdess.py:366-387`): /255, brightness x factor,
+        + Gaussian noise, clip [0,1], ImageNet normalize.  The host already
+        applied the uint8-domain Gaussian blur (media.load_video_frames_u8);
+        `aug` is [B,2] = (factor, sigma), (1,0) on eval batches so the same
+        trace covers both.  float32-wire batches pass through untouched
+        (host-normalized)."""
+        if video.dtype != jnp.uint8:
+            return video
+        from multimodalemotionrecognition_tpu.config import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        v = video.astype(jnp.float32) / 255.0
+        if aug is not None:
+            factor = aug[:, 0].reshape(-1, 1, 1, 1, 1)
+            sigma = aug[:, 1].reshape(-1, 1, 1, 1, 1)
+            v = v * factor
+            if rngs is not None:
+                noise = jax.random.normal(rngs["videoaug"], v.shape, jnp.float32)
+                v = v + sigma * noise
+            v = jnp.clip(v, 0.0, 1.0)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 1, 3, 1, 1)
+        return (v - mean) / std
+
     def _audio_features(self, audio_wav: jnp.ndarray) -> jnp.ndarray:
         """Waveform [B,1,T] -> model audio input; mel front-end runs on-device
         inside the step for non-WavLM models."""
@@ -178,8 +330,17 @@ class EmotionTrainer:
     # ------------------------------------------------------------------
 
     def _build_steps(self):
-        adam_core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-        self._adam_core = adam_core
+        self._adam_core = optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+        if self.tc.flat_optimizer not in ("auto", "on", "off"):
+            raise ValueError(
+                f"TrainConfig.flat_optimizer must be 'auto', 'on' or 'off'; "
+                f"got {self.tc.flat_optimizer!r}"
+            )
+        if self.tc.rng_impl not in ("auto", "rbg", "threefry"):
+            raise ValueError(
+                f"TrainConfig.rng_impl must be 'auto', 'rbg' or 'threefry'; "
+                f"got {self.tc.rng_impl!r}"
+            )
         rng_impl = self.tc.rng_impl
         if rng_impl == "auto":
             rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
@@ -199,6 +360,7 @@ class EmotionTrainer:
             mask,
             lrs,
             reset_opt=np.float32(0.0),
+            aug=None,
         ):
             rng = jax.random.fold_in(state.rng, state.step)
             if rng_impl == "rbg":
@@ -216,6 +378,7 @@ class EmotionTrainer:
                 name: jax.random.fold_in(rng, i)
                 for i, name in enumerate(_RNG_STREAMS)
             }
+            video = self._device_video(video, aug, rngs)
             audio = self._audio_features(audio_wav)
 
             # Static AD scope: leaves frozen in EVERY stage this run can use
@@ -293,119 +456,34 @@ class EmotionTrainer:
                 flat.update(sub)
                 return unflatten_dict(flat)
 
-            if use_flat_opt:
-                # Flat optimizer update (see TrainConfig.flat_optimizer): the
-                # whole Adam + weight-decay + LR/mask chain runs on ONE
-                # concatenated f32 buffer instead of per-leaf — same scalar
-                # ops in the same order (identical to the per-leaf path up
-                # to FMA-contraction rounding, ~1 ulp; TestFlatOptimizer
-                # asserts allclose), but XLA emits a
-                # handful of large fused kernels instead of O(100 leaves)
-                # tiny ones.  opt_state keeps its per-leaf layout (orbax
-                # resume format unchanged); the slices back are pure copies.
-                keys = sorted(live)
-                p_d = _sub(state.params)
-                sizes = [int(np.prod(p_d[k].shape)) for k in keys]
-                offsets = np.concatenate([[0], np.cumsum(sizes)])
-
-                def _cat(d):
-                    return jnp.concatenate(
-                        [d[k].reshape(-1).astype(jnp.float32) for k in keys]
-                    )
-
-                def _cat_scalars(d):
-                    # Per-leaf runtime scalars (mask / lr) broadcast into
-                    # segment-constant flat vectors.
-                    return jnp.concatenate([
-                        jnp.broadcast_to(
-                            jnp.asarray(d[k], jnp.float32), (n,)
-                        )
-                        for k, n in zip(keys, sizes)
-                    ])
-
-                def _split(flat, like):
-                    return {
-                        k: jax.lax.slice(flat, (int(o),), (int(o) + n,))
-                        .reshape(like[k].shape)
-                        .astype(like[k].dtype)
-                        for k, o, n in zip(keys, offsets[:-1], sizes)
-                    }
-
-                b1, b2, eps = 0.9, 0.999, 1e-8
-                keep = jnp.asarray(1.0 - reset_opt, jnp.float32)
-                p_f = _cat(p_d)
-                mask_f = _cat_scalars(_sub(mask))
-                g_f = (_cat(_sub(grads)) + self.tc.weight_decay * p_f) * mask_f
-                mu_f = _cat(_sub(state.opt_state.mu)) * keep
-                nu_f = _cat(_sub(state.opt_state.nu)) * keep
-                count = state.opt_state.count * jnp.asarray(
-                    1.0 - reset_opt, state.opt_state.count.dtype
-                )
-                # Same expressions as optax.scale_by_adam's update_fn.
-                mu_f = (1 - b1) * g_f + b1 * mu_f
-                nu_f = (1 - b2) * g_f**2 + b2 * nu_f
-                count_inc = optax.safe_increment(count)
-                mu_hat = mu_f / (1 - b1**count_inc).astype(mu_f.dtype)
-                nu_hat = nu_f / (1 - b2**count_inc).astype(nu_f.dtype)
-                delta_f = mu_hat / (jnp.sqrt(nu_hat + 0.0) + eps)
-                p_new_f = p_f + -_cat_scalars(_sub(lrs)) * delta_f * mask_f
-
-                opt_state = optax.ScaleByAdamState(
-                    count=count_inc,
-                    mu=_merge(state.opt_state.mu, _split(mu_f, p_d)),
-                    nu=_merge(state.opt_state.nu, _split(nu_f, p_d)),
-                )
-                params = _merge(state.params, _split(p_new_f, p_d))
-                new_state = state.replace(
-                    params=params,
-                    batch_stats=updates.get("batch_stats", state.batch_stats),
-                    opt_state=opt_state,
-                    step=state.step + 1,
-                )
-                return new_state, total, cls_loss, contrastive, preds
-
-            # torch Adam semantics: L2 weight decay added to grads pre-Adam,
-            # only on trainable params; frozen params get exactly zero update.
-            grads_sub = jax.tree_util.tree_map(
-                lambda g, p, m: (g + self.tc.weight_decay * p) * m,
-                _sub(grads),
+            # Optimizer update on the live sub-tree only (static optimizer
+            # scope above).  Stage-flip reset rides in as DATA (reset_opt) so
+            # the flip reuses the stage-1 executable — eagerly re-initializing
+            # opt_state outside jit produced buffers whose layouts mismatched
+            # the donated outputs and forced a full tunnel recompile (487 s
+            # measured in round 1).  Layout (flat vs per-leaf) is chosen by
+            # TrainConfig.flat_optimizer; see masked_adam_update for the
+            # equivalence contract.
+            params_sub, opt_sub = masked_adam_update(
+                optax.ScaleByAdamState(
+                    count=state.opt_state.count,
+                    mu=_sub(state.opt_state.mu),
+                    nu=_sub(state.opt_state.nu),
+                ),
                 _sub(state.params),
+                _sub(grads),
                 _sub(mask),
-            )
-            # Stage-flip optimizer reset as DATA, not a new executable: the
-            # reference rebuilds torch.optim.Adam at the flip (`:1080`);
-            # multiplying (mu, nu, count) by (1 - reset_opt) is numerically
-            # identical to a fresh scale_by_adam init while keeping ONE
-            # compiled step — eagerly re-initializing opt_state outside jit
-            # produced buffers whose layouts mismatched the donated outputs
-            # and forced a full tunnel recompile (487 s measured in round 1).
-            opt_in = optax.ScaleByAdamState(
-                count=state.opt_state.count
-                * jnp.asarray(1.0 - reset_opt, state.opt_state.count.dtype),
-                mu=jax.tree_util.tree_map(
-                    lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
-                    _sub(state.opt_state.mu),
-                ),
-                nu=jax.tree_util.tree_map(
-                    lambda x: x * jnp.asarray(1.0 - reset_opt, x.dtype),
-                    _sub(state.opt_state.nu),
-                ),
-            )
-            deltas_sub, opt_out = adam_core.update(
-                grads_sub, opt_in, _sub(state.params)
+                _sub(lrs),
+                reset_opt,
+                self.tc.weight_decay,
+                flat=use_flat_opt,
             )
             opt_state = optax.ScaleByAdamState(
-                count=opt_out.count,
-                mu=_merge(state.opt_state.mu, opt_out.mu),
-                nu=_merge(state.opt_state.nu, opt_out.nu),
+                count=opt_sub.count,
+                mu=_merge(state.opt_state.mu, opt_sub.mu),
+                nu=_merge(state.opt_state.nu, opt_sub.nu),
             )
-            deltas_sub = jax.tree_util.tree_map(
-                lambda d, lr, m: -lr * d * m, deltas_sub, _sub(lrs), _sub(mask)
-            )
-            params = _merge(
-                state.params,
-                optax.apply_updates(_sub(state.params), deltas_sub),
-            )
+            params = _merge(state.params, params_sub)
             new_state = state.replace(
                 params=params,
                 batch_stats=updates.get("batch_stats", state.batch_stats),
@@ -414,7 +492,8 @@ class EmotionTrainer:
             )
             return new_state, total, cls_loss, contrastive, preds
 
-        def eval_step(params, batch_stats, video, audio_wav, labels, valid):
+        def eval_step(params, batch_stats, video, audio_wav, labels, valid, aug=None):
+            video = self._device_video(video, aug, None)
             audio = self._audio_features(audio_wav)
             variables = {"params": params, "batch_stats": batch_stats}
             outputs, aux, _ = self._apply(
@@ -533,26 +612,49 @@ class EmotionTrainer:
         lrs=None,
         reset_opt_first: bool = False,
     ) -> Tuple[TrainState, Dict[str, float]]:
-        totals = np.zeros(3)
-        n = 0
-        all_preds, all_labels = [], []
+        """One pass over `loader`, pipelined like serving (r2 VERDICT #2).
+
+        The reference hot loop (`src/train.py:185-244`) copies each batch
+        H2D synchronously and reads losses per step.  Here batch N+1's
+        host->device transfer STARTS right after step N is dispatched (JAX
+        device_put / step dispatch are async, so the transfer rides under
+        step N's compute), and per-step scalars/preds stay on device until
+        ONE fetch at epoch end — the loop never blocks on the device
+        between steps, so epoch time ~ n_steps * max(step_ms, transfer_ms)
+        + decode tail instead of n_steps * (step + transfer + fetch).
+        In-flight steps are capped at 3 (block on step N-3's loss scalar)
+        so queued input buffers can't exhaust device memory when host
+        decode outruns the device.
+        """
+        step_outs: list = []  # (total, cls_l, ctr_l, preds) device arrays
+        sizes: list = []
+        valids: list = []
+        labels_list: list = []
         first = True
-        for batch in loader:
-            sb = shard_batch(
-                self.mesh,
-                {
-                    "video": batch.video,
-                    "audio": batch.audio,
-                    "labels": batch.labels,
-                    "valid": batch.valid,
-                },
-            )
+        it = iter(loader)
+
+        def _stage(batch):
+            arrays = {
+                "video": batch.video,
+                "audio": batch.audio,
+                "labels": batch.labels,
+                "valid": batch.valid,
+            }
+            if batch.aug is not None:
+                arrays["aug"] = batch.aug
+            return batch, shard_batch(self.mesh, arrays)
+
+        nxt = next(it, None)
+        staged = _stage(nxt) if nxt is not None else None
+        while staged is not None:
+            batch, sb = staged
+            aug = sb.get("aug")
             if train:
                 reset = np.float32(1.0 if (reset_opt_first and first) else 0.0)
                 first = False
                 state, total, cls_l, ctr_l, preds = self._train_step(
                     state, sb["video"], sb["audio"], sb["labels"], sb["valid"],
-                    mask, lrs, reset
+                    mask, lrs, reset, aug
                 )
             else:
                 total, cls_l, ctr_l, preds = self._eval_step(
@@ -562,13 +664,28 @@ class EmotionTrainer:
                     sb["audio"],
                     sb["labels"],
                     sb["valid"],
+                    aug,
                 )
-            bs = batch.size
-            totals += np.array([float(total), float(cls_l), float(ctr_l)]) * bs
+            step_outs.append((total, cls_l, ctr_l, preds))
+            sizes.append(batch.size)
+            valids.append(np.asarray(batch.valid))
+            labels_list.append(batch.labels)
+            if len(step_outs) >= 3:
+                step_outs[-3][0].block_until_ready()
+            nxt = next(it, None)  # host decode of batch N+1 ...
+            staged = _stage(nxt) if nxt is not None else None  # ... + async H2D
+
+        fetched = jax.device_get(step_outs)  # the ONE device sync per epoch
+        totals = np.zeros(3)
+        n = 0
+        all_preds, all_labels = [], []
+        for (total, cls_l, ctr_l, preds), bs, valid_np, labels in zip(
+            fetched, sizes, valids, labels_list
+        ):
+            totals += np.array([total, cls_l, ctr_l], dtype=np.float64) * bs
             n += bs
-            valid_np = np.asarray(batch.valid)
             all_preds.append(np.asarray(preds)[valid_np])
-            all_labels.append(batch.labels[valid_np])
+            all_labels.append(labels[valid_np])
         preds = np.concatenate(all_preds) if all_preds else np.zeros(0)
         labels = np.concatenate(all_labels) if all_labels else np.zeros(0)
         metrics = {

@@ -279,6 +279,86 @@ class TestFaceCrop:
         assert HeuristicFaceDetector().detect_face_bbox(img) is None
 
 
+class TestHaar:
+    """Numpy Viola-Jones evaluator over the system OpenCV cascade weights
+    (`data/haar.py`) — the real-face-trained offline oracle in the face-crop
+    parity triangulation (cv2 5.x dropped the CascadeClassifier binding)."""
+
+    def _cascade(self):
+        from multimodalemotionrecognition_tpu.data.haar import (
+            HaarCascade,
+            find_cascade_xml,
+        )
+
+        path = find_cascade_xml()
+        if path is None:
+            pytest.skip("no system haarcascade XML")
+        return HaarCascade(path)
+
+    def test_cascade_parses(self):
+        c = self._cascade()
+        assert (c.win_w, c.win_h) == (24, 24)
+        assert len(c.stages) >= 20  # frontalface_default has 25 stages
+        assert c.rect_xywh.shape[0] > 1000  # ~2900 stump features
+
+    def test_detects_synthetic_faces(self):
+        """Deterministic scene sweep: the cascade must fire on a majority of
+        synthface scenes with sane IoU vs the ground-truth ellipse box (the
+        measured triangulation baseline is rate 0.67 / IoU 0.63,
+        benchmarks/face_parity.json)."""
+        from multimodalemotionrecognition_tpu.data.face import HaarFaceDetector
+        from multimodalemotionrecognition_tpu.data.synthface import make_scene
+
+        det = HaarFaceDetector()
+        if not det.available:
+            pytest.skip("no cascade available")
+        rng = np.random.default_rng(42)
+        hits, ious = 0, []
+        n = 12
+        for _ in range(n):
+            img, gt = make_scene(rng, size=192, p_face=1.0)
+            if gt is None:
+                continue
+            bbox = det.detect_face_bbox(img)
+            if bbox is None:
+                continue
+            hits += 1
+            x0, y0, w, h = bbox
+            gx, gy, gw, gh = gt
+            ix0, iy0 = max(x0, gx), max(y0, gy)
+            ix1 = min(x0 + w, gx + gw)
+            iy1 = min(y0 + h, gy + gh)
+            inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+            ious.append(inter / (w * h + gw * gh - inter))
+        assert hits >= n // 2, f"cascade fired on only {hits}/{n} scenes"
+        assert np.mean(ious) > 0.4
+
+    def test_no_detection_on_flat_image(self):
+        from multimodalemotionrecognition_tpu.data.face import HaarFaceDetector
+
+        det = HaarFaceDetector()
+        if not det.available:
+            pytest.skip("no cascade available")
+        img = np.full((160, 160, 3), 128, np.uint8)
+        assert det.detect_face_bbox(img) is None
+
+    def test_env_selects_haar(self, monkeypatch):
+        import multimodalemotionrecognition_tpu.data.face as face_mod
+
+        monkeypatch.setenv("EMO_FACE_DETECTOR", "haar")
+        monkeypatch.setattr(face_mod, "_detector", None)
+        monkeypatch.setattr(face_mod, "_detector_initialized", False)
+        det = face_mod.get_face_detector()
+        # falls back to heuristic only when no cascade XML ships
+        from multimodalemotionrecognition_tpu.data.haar import find_cascade_xml
+
+        if find_cascade_xml() is not None:
+            assert isinstance(det, face_mod.HaarFaceDetector)
+        # restore the module-global for other tests
+        monkeypatch.setattr(face_mod, "_detector", None)
+        monkeypatch.setattr(face_mod, "_detector_initialized", False)
+
+
 # ---------------------------------------------------------------------------
 # native decoder (libav)
 # ---------------------------------------------------------------------------
@@ -368,6 +448,65 @@ class TestPipeline:
         assert batches[0].size == 3 and batches[1].size == 1
         assert not batches[1].valid[1]  # padded tail
 
+    def test_uint8_wire_batches(self, tmp_path):
+        """wire="uint8" ships post-blur uint8 pixels + per-sample
+        (brightness, sigma); padded tail rows carry the identity (1, 0)."""
+        from multimodalemotionrecognition_tpu.data.pipeline import (
+            BatchedLoader,
+            EmotionSampleLoader,
+        )
+
+        root = self._make_dataset(tmp_path)
+        pairs = build_pairs(root)
+        cfg = DataConfig(
+            data_root=str(root),
+            video=VideoConfig(num_frames=4, size=64),
+            use_face_crop=False,
+            train_augment=True,
+        )
+        loader = BatchedLoader(
+            pairs,
+            EmotionSampleLoader(cfg, augment=True, wire="uint8"),
+            batch_size=3,
+            num_threads=2,
+        )
+        batches = list(loader)
+        for b in batches:
+            assert b.video.dtype == np.uint8
+            assert b.video.shape == (3, 4, 3, 64, 64)
+            assert b.aug.shape == (3, 2)
+        # augmented rows draw factor in U(0.2, 0.6), sigma in U(0, 5e-4)
+        valid_aug = batches[0].aug[batches[0].valid]
+        assert ((valid_aug[:, 0] >= 0.2) & (valid_aug[:, 0] <= 0.6)).all()
+        assert ((valid_aug[:, 1] >= 0.0) & (valid_aug[:, 1] <= 5e-4)).all()
+        # padded tail: identity augment params
+        np.testing.assert_array_equal(batches[1].aug[~batches[1].valid][0], [1.0, 0.0])
+
+    def test_uint8_wire_eval_matches_float_wire(self, tmp_path):
+        """Without augmentation, u8/255 + normalize on device must equal the
+        host-normalized float wire exactly (same f32 ops, same order)."""
+        from multimodalemotionrecognition_tpu.data.pipeline import (
+            EmotionSampleLoader,
+        )
+
+        root = self._make_dataset(tmp_path)
+        pairs = build_pairs(root)
+        cfg = DataConfig(
+            data_root=str(root),
+            video=VideoConfig(num_frames=4, size=64),
+            use_face_crop=False,
+            train_augment=False,
+        )
+        vf, af, lf, _ = EmotionSampleLoader(cfg, wire="float32")(pairs[0])
+        (vu, aug), au, lu, _ = EmotionSampleLoader(cfg, wire="uint8")(pairs[0])
+        assert lf == lu
+        np.testing.assert_array_equal(af, au)
+        np.testing.assert_array_equal(aug, [1.0, 0.0])
+        mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 3, 1, 1)
+        std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 3, 1, 1)
+        replay = (vu.astype(np.float32) / 255.0 - mean) / std
+        np.testing.assert_allclose(replay, vf, atol=1e-6)
+
     def test_shuffle_is_deterministic_per_epoch(self, tmp_path):
         from multimodalemotionrecognition_tpu.data.pipeline import (
             BatchedLoader,
@@ -456,6 +595,50 @@ class TestNativePipelineIntegration:
         )
         assert video_u8.dtype == np.uint8
         np.testing.assert_allclose(audio2, audio, atol=1e-6)
+
+    def test_decode_skip_and_band_sws_bit_identical(self, av_clip, monkeypatch):
+        """The r3 decode levers must be invisible in the pixels:
+
+        * NONREF skip (EMO_DECODE_SKIP, default on): the decoder drops
+          non-reference frames BETWEEN sampled indices; reference frames
+          are reconstructed either way, so sampled frames are bit-identical.
+          (The pts->index map comes from an exact CFR pre-scan; the earlier
+          avg_frame_rate-based map aliased indices one frame off —
+          regression-guarded here by full byte equality.)
+        * Crop-band-only RGB conversion (EMO_SWS_FULL=1 forces the old
+          whole-frame conversion): interior rows of the +-4-row band are
+          bit-identical to full-frame conversion.
+        """
+        from multimodalemotionrecognition_tpu.native import medialoader
+
+        path, _ = av_clip
+        info = medialoader.probe_video(str(path))
+        idx = np.linspace(0, info["frames"] - 1, 8).astype(int).tolist()
+        crop = (30, 20, 60, 70)
+
+        outs = {}
+        for name, env in (
+            ("legacy", {"EMO_DECODE_SKIP": "0", "EMO_SWS_FULL": "1"}),
+            ("skip", {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "1"}),
+            ("band", {"EMO_DECODE_SKIP": "0", "EMO_SWS_FULL": "0"}),
+            ("both", {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "0"}),
+        ):
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            outs[name] = {
+                "full": medialoader.decode_video_frames(
+                    str(path), idx, info["width"], info["height"]
+                ),
+                "crop": medialoader.decode_video_frames(
+                    str(path), idx, 112, 112, crop=crop
+                ),
+            }
+        for name in ("skip", "band", "both"):
+            for kind in ("full", "crop"):
+                np.testing.assert_array_equal(
+                    outs[name][kind], outs["legacy"][kind],
+                    err_msg=f"{name}/{kind} differs from legacy decode",
+                )
 
     def test_native_injected_bbox_crop(self, av_clip, monkeypatch):
         """Injected bbox (parity hook) must route through the native crop."""

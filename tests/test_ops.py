@@ -54,6 +54,49 @@ class TestMel:
         # Triangles partition mel space: every filter has positive mass.
         assert (fb.sum(axis=0) > 0).all()
 
+    def test_filterbank_matches_transformers_oracle(self):
+        """Third-party oracle: HF transformers.audio_utils.mel_filter_bank
+        implements torchaudio-compatible HTK triangular banks (norm=None,
+        triangles in Hz space) completely independently of this repo.
+        Checkpoint parity of AudioCNN/AudioResNet rides on this filterbank
+        matching torchaudio `melscale_fbanks` (reference mel front-end
+        `src/data/ravdess.py:478-485`)."""
+        from transformers.audio_utils import mel_filter_bank
+
+        oracle = mel_filter_bank(
+            num_frequency_bins=201,
+            num_mel_filters=64,
+            min_frequency=0.0,
+            max_frequency=8000.0,
+            sampling_rate=16000,
+            norm=None,
+            mel_scale="htk",
+        )
+        fb = np.asarray(mel_filterbank(), np.float64)
+        np.testing.assert_allclose(fb, oracle, atol=1e-6, rtol=0)
+
+    def test_filterbank_matches_explicit_triangle_oracle(self):
+        """Independent transcription of torchaudio melscale_fbanks semantics:
+        HTK mel scale m = 2595*log10(1 + f/700), n_mels+2 points equally
+        spaced in mel between f_min and f_max, mapped back to Hz, and for
+        each filter an explicit per-triangle ramp in Hz space — a different
+        code shape (scalar loop) than the vectorized slopes in ops/mel.py,
+        so a typo in either is caught."""
+        n_freqs, n_mels, sr, f_min, f_max = 201, 64, 16000, 0.0, 8000.0
+        freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+        mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+        inv = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+        pts = inv(np.linspace(mel(f_min), mel(f_max), n_mels + 2))
+        oracle = np.zeros((n_freqs, n_mels))
+        for m in range(n_mels):
+            lo, ctr, hi = pts[m], pts[m + 1], pts[m + 2]
+            for i, f in enumerate(freqs):
+                up = (f - lo) / (ctr - lo)
+                down = (hi - f) / (hi - ctr)
+                oracle[i, m] = max(0.0, min(up, down))
+        fb = np.asarray(mel_filterbank(), np.float64)
+        np.testing.assert_allclose(fb, oracle, atol=1e-6, rtol=0)
+
     def test_amplitude_to_db_matches_torch_formula(self):
         x = np.abs(np.random.RandomState(1).randn(8, 16)).astype(np.float32)
         db = amplitude_to_db(jnp.asarray(x))
