@@ -27,10 +27,13 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -215,36 +218,121 @@ int ml_probe_video(const char* path, long long* out_frames, double* out_fps,
   return 0;
 }
 
-int ml_decode_video_crop(const char* path, const long long* indices,
-                         int n_indices, int crop_x, int crop_y, int crop_w,
-                         int crop_h, int out_w, int out_h, unsigned char* out) {
-  if (n_indices <= 0) return 0;
+namespace {
+
+// -21 = pts-indexed skip mode could not account for every requested frame
+// (unusable timestamps / VFR drift); the caller retries in legacy mode.
+constexpr int kSkipModeFailed = -21;
+
+// Demux-only pre-scan (no decode — ~1% of a clip's decode cost): skip mode
+// needs an EXACT pts -> frame-index map, and rate metadata can't provide one
+// (mp4 avg_frame_rate divides nb_frames by the CONTAINER duration, which an
+// audio tail stretches — measured 30.34 "fps" on a true-30fps mux, enough to
+// alias sampled indices one frame off).  Accept only timestamp sets that
+// form a perfect arithmetic progression start + k*dur covering 0..n-1; VFR
+// or gapped streams fall back to the counting decoder.
+bool scan_cfr_pts(const char* path, int64_t* start_out, int64_t* dur_out,
+                  long long* nframes_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return false;
+  }
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (si < 0) {
+    avformat_close_input(&fmt);
+    return false;
+  }
+  std::vector<int64_t> pts;
+  AVPacket* pkt = av_packet_alloc();
+  bool ok = true;
+  while (av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si) {
+      if (pkt->pts == AV_NOPTS_VALUE) {
+        ok = false;
+        av_packet_unref(pkt);
+        break;
+      }
+      pts.push_back(pkt->pts);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&fmt);
+  if (!ok || pts.size() < 2) return false;
+  std::sort(pts.begin(), pts.end());
+  const int64_t start = pts[0];
+  const int64_t dur = pts[1] - pts[0];
+  if (dur <= 0) return false;
+  for (size_t k = 0; k < pts.size(); ++k)
+    if (pts[k] != start + static_cast<int64_t>(k) * dur) return false;
+  *start_out = start;
+  *dur_out = dur;
+  *nframes_out = static_cast<long long>(pts.size());
+  return true;
+}
+
+int decode_video_crop_impl(const char* path, const long long* indices,
+                           int n_indices, int crop_x, int crop_y, int crop_w,
+                           int crop_h, int out_w, int out_h, unsigned char* out,
+                           bool use_skip, int64_t skip_start,
+                           int64_t skip_dur) {
   Demux d;
   int rc = d.open(path, AVMEDIA_TYPE_VIDEO, /*fast=*/true);
   if (rc != 0) return rc;
 
-  SwsContext* to_rgb = nullptr;   // native fmt -> RGB24 at native size
+  // NONREF skip mode: sampled-frame extraction decodes ~8 of ~90 frames but
+  // must reconstruct every frame other frames REFERENCE.  Non-reference
+  // frames (x264 emits ~half its frames as non-ref B at default bframes)
+  // that are not themselves sampled can be dropped by the decoder before
+  // reconstruction.  skip_frame is toggled per packet: AVDISCARD_DEFAULT
+  // when the packet's presentation index is a sampled index, NONREF
+  // otherwise — the decoder keeps every reference frame regardless, so
+  // sampled frames decode bit-identically.  Frames are then matched to
+  // indices by pts (output order still ascends in presentation time, but
+  // with gaps), which needs trustworthy CFR timestamps: any NOPTS packet,
+  // index regression, or missing sampled frame at EOF aborts to the exact
+  // counting-based legacy path (return kSkipModeFailed -> caller retries).
+  bool skip_mode = use_skip;
+  bool skip_failed = false;
+
+  SwsContext* to_rgb = nullptr;   // native fmt -> RGB24 (crop band only)
   SwsContext* resize = nullptr;   // cropped RGB24 -> out size
   std::vector<unsigned char> rgb_full;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
 
-  long long current = 0;
-  int next_slot = 0;  // indices are sorted ascending
+  long long current = 0;  // legacy mode: decoded-frame counter
+  int next_slot = 0;      // indices are sorted ascending
   const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
 
+  // Exact integer mapping from the CFR pre-scan; any timestamp off the
+  // progression (or before start) aborts skip mode.
+  auto pts_to_index = [&](int64_t pts) -> long long {
+    if (pts < skip_start || (pts - skip_start) % skip_dur != 0) return -1;
+    return (pts - skip_start) / skip_dur;
+  };
+
   auto handle_frame = [&](AVFrame* f) {
-    if (next_slot < n_indices && indices[next_slot] == current) {
-      const int w = f->width, h = f->height;
-      if (!to_rgb) {
-        to_rgb = sws_getContext(w, h, static_cast<AVPixelFormat>(f->format),
-                                w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                                nullptr, nullptr);
-        rgb_full.resize(static_cast<size_t>(w) * h * 3);
+    long long idx = current;
+    if (skip_mode) {
+      if (f->pts == AV_NOPTS_VALUE) {
+        skip_failed = true;
+        return;
       }
-      uint8_t* full_dst[1] = {rgb_full.data()};
-      int full_stride[1] = {w * 3};
-      sws_scale(to_rgb, f->data, f->linesize, 0, h, full_dst, full_stride);
+      idx = pts_to_index(f->pts);
+      if (idx < 0) {
+        skip_failed = true;
+        return;
+      }
+      if (next_slot < n_indices && indices[next_slot] < idx) {
+        skip_failed = true;  // a sampled frame never surfaced: bad mapping
+        return;
+      }
+    }
+    if (next_slot < n_indices && indices[next_slot] == idx) {
+      const int w = f->width, h = f->height;
 
       // Crop rect clipped to the frame; cw<=0 selects the full frame.
       int cx = crop_w > 0 ? crop_x : 0;
@@ -257,37 +345,115 @@ int ml_decode_video_crop(const char* path, const long long* indices,
       if (cy + ch > h) ch = h - cy;
       if (cw <= 0 || ch <= 0) { cx = cy = 0; cw = w; ch = h; }
 
-      if (!resize) {
+      // Convert only the crop's row band (+4-row margin so chroma
+      // upsampling at the band edges sees its full vertical context and
+      // interior rows stay bit-identical to a full-frame conversion;
+      // start row aligned down to 4 for 4:2:0/4:1:0 chroma grids).
+      // EMO_SWS_FULL=1 forces whole-frame conversion (equivalence tests;
+      // read per call so tests can toggle it via os.environ/putenv).
+      const char* fs_env = getenv("EMO_SWS_FULL");
+      const bool full_sws = fs_env && fs_env[0] == '1';
+      int by0 = full_sws ? 0 : (cy - 4 < 0 ? 0 : (cy - 4) & ~3);
+      int by1 = full_sws ? h : (cy + ch + 4 + 3) & ~3;
+      if (by1 > h) by1 = h;
+
+      if (!to_rgb) {
+        // The context is sized to the band itself (swscale's generic path
+        // rejects slices that start mid-image); the band is presented as a
+        // standalone [w, by1-by0] image whose plane pointers are offset
+        // into the frame.  The crop rect is constant across the clip, so
+        // one context serves every frame.
+        to_rgb = sws_getContext(w, by1 - by0,
+                                static_cast<AVPixelFormat>(f->format), w,
+                                by1 - by0, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                                nullptr, nullptr, nullptr);
+        rgb_full.resize(static_cast<size_t>(w) * h * 3);
+      }
+      const AVPixFmtDescriptor* desc =
+          av_pix_fmt_desc_get(static_cast<AVPixelFormat>(f->format));
+      const uint8_t* slice[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int p = 0; p < 4 && f->data[p]; ++p) {
+        int shift = (p == 1 || p == 2) && desc ? desc->log2_chroma_h : 0;
+        slice[p] = f->data[p] +
+                   static_cast<ptrdiff_t>(by0 >> shift) * f->linesize[p];
+      }
+      uint8_t* band_dst[1] = {rgb_full.data() +
+                              static_cast<size_t>(by0) * w * 3};
+      int full_stride[1] = {w * 3};
+      sws_scale(to_rgb, slice, f->linesize, 0, by1 - by0, band_dst,
+                full_stride);
+
+      const uint8_t* crop_src =
+          rgb_full.data() + static_cast<size_t>(cy) * w * 3 +
+          static_cast<size_t>(cx) * 3;
+      const int crop_stride = w * 3;
+      const bool identity = (cw == out_w && ch == out_h);
+      if (!identity && !resize) {
         resize = sws_getContext(cw, ch, AV_PIX_FMT_RGB24, out_w, out_h,
                                 AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                 nullptr, nullptr);
       }
-      const uint8_t* crop_src[1] = {
-          rgb_full.data() + static_cast<size_t>(cy) * w * 3 +
-          static_cast<size_t>(cx) * 3};
-      int crop_stride[1] = {w * 3};
-
-      while (next_slot < n_indices && indices[next_slot] == current) {
-        uint8_t* dst[1] = {out + static_cast<size_t>(next_slot) * frame_bytes};
-        int dst_stride[1] = {out_w * 3};
-        sws_scale(resize, crop_src, crop_stride, 0, ch, dst, dst_stride);
+      while (next_slot < n_indices && indices[next_slot] == idx) {
+        uint8_t* dst = out + static_cast<size_t>(next_slot) * frame_bytes;
+        if (identity) {
+          // Same-size "resize" is a row copy; skip the sws pass entirely
+          // (the serving hot path decodes at native resolution, so every
+          // frame used to pay a full-frame identity sws_scale here).
+          for (int r = 0; r < ch; ++r)
+            memcpy(dst + static_cast<size_t>(r) * out_w * 3,
+                   crop_src + static_cast<size_t>(r) * crop_stride,
+                   static_cast<size_t>(out_w) * 3);
+        } else {
+          uint8_t* dsts[1] = {dst};
+          int dst_stride[1] = {out_w * 3};
+          const uint8_t* srcs[1] = {crop_src};
+          int src_strides[1] = {crop_stride};
+          sws_scale(resize, srcs, src_strides, 0, ch, dsts, dst_stride);
+        }
         ++next_slot;
       }
     }
     ++current;
   };
 
-  while (next_slot < n_indices && av_read_frame(d.fmt, pkt) >= 0) {
+  while (next_slot < n_indices && !skip_failed &&
+         av_read_frame(d.fmt, pkt) >= 0) {
     if (pkt->stream_index == d.stream_index) {
-      if (avcodec_send_packet(d.dec, pkt) >= 0) {
+      if (skip_mode) {
+        long long pidx =
+            pkt->pts == AV_NOPTS_VALUE ? -1 : pts_to_index(pkt->pts);
+        if (pidx < 0) {
+          skip_failed = true;
+        } else {
+          bool needed = false;
+          for (int s = next_slot; s < n_indices && indices[s] <= pidx; ++s)
+            if (indices[s] == pidx) { needed = true; break; }
+          d.dec->skip_frame =
+              needed ? AVDISCARD_DEFAULT : AVDISCARD_NONREF;
+        }
+      }
+      if (!skip_failed && avcodec_send_packet(d.dec, pkt) >= 0) {
         while (avcodec_receive_frame(d.dec, frame) >= 0) handle_frame(frame);
       }
     }
     av_packet_unref(pkt);
   }
-  if (next_slot < n_indices) {
+  if (next_slot < n_indices && !skip_failed) {
+    if (skip_mode) d.dec->skip_frame = AVDISCARD_DEFAULT;
     avcodec_send_packet(d.dec, nullptr);
     while (avcodec_receive_frame(d.dec, frame) >= 0) handle_frame(frame);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (to_rgb) sws_freeContext(to_rgb);
+  if (resize) sws_freeContext(resize);
+
+  if (skip_failed) return kSkipModeFailed;
+  if (skip_mode && next_slot < n_indices && next_slot > 0) {
+    // Could be a genuinely short video (legacy pads by repeating the last
+    // frame) — or a frame the skip mapping lost.  Legacy mode decides.
+    return kSkipModeFailed;
   }
   if (next_slot > 0) {  // short video: repeat last frame (reference behavior)
     while (next_slot < n_indices) {
@@ -297,12 +463,31 @@ int ml_decode_video_crop(const char* path, const long long* indices,
       ++next_slot;
     }
   }
-
-  av_frame_free(&frame);
-  av_packet_free(&pkt);
-  if (to_rgb) sws_freeContext(to_rgb);
-  if (resize) sws_freeContext(resize);
   return next_slot == n_indices ? 0 : -20;
+}
+
+}  // namespace
+
+int ml_decode_video_crop(const char* path, const long long* indices,
+                         int n_indices, int crop_x, int crop_y, int crop_w,
+                         int crop_h, int out_w, int out_h, unsigned char* out) {
+  if (n_indices <= 0) return 0;
+  // Read per call (not latched) so tests can toggle via os.environ/putenv.
+  const char* skip_env = getenv("EMO_DECODE_SKIP");
+  const bool try_skip = !(skip_env && skip_env[0] == '0');
+  if (try_skip) {
+    int64_t start = 0, dur = 0;
+    long long nframes = 0;
+    if (scan_cfr_pts(path, &start, &dur, &nframes)) {
+      int rc = decode_video_crop_impl(path, indices, n_indices, crop_x,
+                                      crop_y, crop_w, crop_h, out_w, out_h,
+                                      out, /*use_skip=*/true, start, dur);
+      if (rc != kSkipModeFailed) return rc;
+    }
+  }
+  return decode_video_crop_impl(path, indices, n_indices, crop_x, crop_y,
+                                crop_w, crop_h, out_w, out_h, out,
+                                /*use_skip=*/false, 0, 1);
 }
 
 int ml_decode_video(const char* path, const long long* indices, int n_indices,
