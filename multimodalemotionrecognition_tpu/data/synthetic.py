@@ -1,10 +1,29 @@
-"""Synthetic RAVDESS-style dataset generation (for smoke tests / demos).
+"""Synthetic RAVDESS-style dataset generation (for smoke tests / demos /
+the convergence regression gate).
 
-Builds a directory tree of correctly-named pairs — `02-01-EE-01-01-01-AA.mp4`
-video-only clips (moving skin-tone "face" on dark background, emotion-coded
-motion) and `03-01-EE-01-01-01-AA.wav` audio-only clips (emotion-coded tone
-stacks) — so the full train/eval/serve workflow can run end-to-end without
-the real corpus.
+Builds a directory tree of correctly-named pairs — `02-01-EE-II-SS-RR-AA.mp4`
+video-only clips and `03-01-EE-II-SS-RR-AA.wav` audio-only clips — so the
+full train/eval/serve workflow can run end-to-end without the real corpus
+(the reference corpus layout: `src/data/ravdess.py:54-72`).
+
+Two signal regimes:
+
+* default (`strong_signal=False`, round-1 behavior): a moving skin-tone
+  block + emotion-coded tone stack.  Enough for smoke tests; deliberately
+  weak cross-actor (one clip per pair, subtle motion coding).
+* `strong_signal=True`: the convergence-gate variant.  Emotion is encoded
+  redundantly in features that SURVIVE the training augmentations
+  (brightness x U(0.2,0.6), Gaussian blur/noise, SNR noise curriculum,
+  SpecAugment) and transfer across actors:
+    - audio: a 3-harmonic tone stack at f0 = 150 + 45*emotion Hz with
+      per-clip random phase and +-2% f0 jitter (well separated on a 64-bin
+      mel axis; tones at ~0.4 amplitude survive 5 dB SNR mixing);
+    - video: the block's horizontal position octant + vertical oscillation
+      rate encode the emotion (position/motion are invariant to brightness
+      scaling and blur; use --no_face_crop so the crop doesn't re-center).
+  Per-actor nuisance variation (block size, background level, harmonic
+  timbre) makes the actor-held-out split meaningful: an actor-keyed
+  shortcut fails, the emotion code transfers.
 """
 
 from __future__ import annotations
@@ -26,6 +45,14 @@ def _write_wav(path: Path, wav: np.ndarray, sr: int) -> None:
         f.writeframes(np.clip(wav * 32767, -32768, 32767).astype("<i2").tobytes())
 
 
+# (intensity, statement, repetition) combos in RAVDESS field order; the
+# first is the legacy single-clip stem 01-01-01.
+_CLIP_COMBOS = [
+    (1, 1, 1), (1, 1, 2), (1, 2, 1), (1, 2, 2),
+    (2, 1, 1), (2, 1, 2), (2, 2, 1), (2, 2, 2),
+]
+
+
 def generate_synthetic_ravdess(
     root: Path | str,
     actors: Sequence[int] = (1, 2),
@@ -35,42 +62,76 @@ def generate_synthetic_ravdess(
     size: int = 160,
     sample_rate: int = 16000,
     seed: int = 0,
+    clips_per_pair: int = 1,
+    strong_signal: bool = False,
 ) -> int:
     """Write paired clips; returns the number of pairs created."""
     import cv2
 
+    if clips_per_pair > len(_CLIP_COMBOS):
+        raise ValueError(f"clips_per_pair <= {len(_CLIP_COMBOS)}")
     root = Path(root)
     rng = np.random.RandomState(seed)
     n_frames = int(seconds * fps)
+    h = int(size * 0.75)
     count = 0
     for actor in actors:
         actor_dir = root / f"Actor_{actor:02d}"
         actor_dir.mkdir(parents=True, exist_ok=True)
+        # actor-dependent nuisance parameters (strong-signal regime)
+        a_rng = np.random.RandomState(seed * 1000 + actor)
+        block_scale = 0.8 + 0.4 * a_rng.rand()        # size nuisance
+        background = int(15 + 25 * a_rng.rand())      # brightness nuisance
+        timbre = 0.5 + a_rng.rand(3)                  # harmonic-amp nuisance
         for emotion in emotions:
-            stem = f"01-0{emotion}-01-01-01-{actor:02d}"
-            # video: skin-tone block whose drift speed encodes the emotion
-            vpath = actor_dir / f"02-{stem}.mp4"
-            writer = cv2.VideoWriter(
-                str(vpath), cv2.VideoWriter_fourcc(*"mp4v"), fps, (size, int(size * 0.75))
-            )
-            h = int(size * 0.75)
-            for i in range(n_frames):
-                frame = np.full((h, size, 3), 25, np.uint8)
-                dx = int(3 * emotion * np.sin(i / 2.0))
-                y0, x0 = h // 4 + dx % 5, size // 3 + dx % 7
-                frame[y0 : y0 + h // 2, x0 : x0 + size // 4] = (110, 140, 200)  # BGR skin
-                writer.write(frame)
-            writer.release()
-            # audio: tone stack at emotion-dependent frequencies + noise
-            t = np.arange(int(sample_rate * seconds)) / sample_rate
-            f0 = 160 + 40 * emotion
-            wav = (
-                0.4 * np.sin(2 * np.pi * f0 * t)
-                + 0.2 * np.sin(2 * np.pi * 2.1 * f0 * t)
-                + 0.02 * rng.randn(t.size)
-            )
-            _write_wav(actor_dir / f"03-{stem}.wav", wav * 0.5, sample_rate)
-            count += 1
+            for ii, ss, rr in _CLIP_COMBOS[:clips_per_pair]:
+                stem = f"01-{emotion:02d}-{ii:02d}-{ss:02d}-{rr:02d}-{actor:02d}"
+                vpath = actor_dir / f"02-{stem}.mp4"
+                writer = cv2.VideoWriter(
+                    str(vpath), cv2.VideoWriter_fourcc(*"mp4v"), fps, (size, h)
+                )
+                e_idx = list(emotions).index(emotion)
+                if strong_signal:
+                    # horizontal octant encodes emotion; small per-clip jitter
+                    n_slots = max(len(emotions), 1)
+                    bw = max(int(size * 0.14 * block_scale), 8)
+                    bh = max(int(h * 0.45 * block_scale), 8)
+                    slot_w = (size - bw) / n_slots
+                    x_base = int(e_idx * slot_w + rng.randint(0, max(int(slot_w * 0.5), 1)))
+                    osc = 1.0 + e_idx  # vertical oscillation rate
+                    for i in range(n_frames):
+                        frame = np.full((h, size, 3), background, np.uint8)
+                        y0 = int((h - bh) * 0.5 * (1 + 0.6 * np.sin(osc * i / 3.0)))
+                        frame[y0 : y0 + bh, x_base : x_base + bw] = (110, 140, 200)
+                        writer.write(frame)
+                else:
+                    for i in range(n_frames):
+                        frame = np.full((h, size, 3), 25, np.uint8)
+                        dx = int(3 * emotion * np.sin(i / 2.0))
+                        y0, x0 = h // 4 + dx % 5, size // 3 + dx % 7
+                        frame[y0 : y0 + h // 2, x0 : x0 + size // 4] = (110, 140, 200)
+                        writer.write(frame)
+                writer.release()
+
+                t = np.arange(int(sample_rate * seconds)) / sample_rate
+                if strong_signal:
+                    f0 = (150.0 + 45.0 * emotion) * (1 + 0.02 * (rng.rand() - 0.5))
+                    ph = 2 * np.pi * rng.rand(3)
+                    wav = (
+                        0.40 * timbre[0] * np.sin(2 * np.pi * f0 * t + ph[0])
+                        + 0.20 * timbre[1] * np.sin(2 * np.pi * 2 * f0 * t + ph[1])
+                        + 0.10 * timbre[2] * np.sin(2 * np.pi * 3 * f0 * t + ph[2])
+                        + 0.02 * rng.randn(t.size)
+                    )
+                else:
+                    f0 = 160 + 40 * emotion
+                    wav = (
+                        0.4 * np.sin(2 * np.pi * f0 * t)
+                        + 0.2 * np.sin(2 * np.pi * 2.1 * f0 * t)
+                        + 0.02 * rng.randn(t.size)
+                    )
+                _write_wav(actor_dir / f"03-{stem}.wav", wav * 0.5, sample_rate)
+                count += 1
     return count
 
 
@@ -82,11 +143,15 @@ if __name__ == "__main__":
     p.add_argument("--actors", type=int, default=4)
     p.add_argument("--emotions", default="1,2,3,4,5,6,7,8")
     p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--clips_per_pair", type=int, default=1)
+    p.add_argument("--strong_signal", action="store_true")
     args = p.parse_args()
     n = generate_synthetic_ravdess(
         args.root,
         actors=range(1, args.actors + 1),
         emotions=[int(x) for x in args.emotions.split(",")],
         seconds=args.seconds,
+        clips_per_pair=args.clips_per_pair,
+        strong_signal=args.strong_signal,
     )
     print(f"wrote {n} pairs under {args.root}")
