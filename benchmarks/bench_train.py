@@ -203,6 +203,16 @@ def bench_epoch(
     np.asarray(total)
     chained_ms = (time.perf_counter() - t0) / n_steps * 1000
 
+    # --- raw H2D transfer floor for one batch (synchronous put) ---
+    t0 = time.perf_counter()
+    for b in batches[:3]:
+        arrays = {"video": b.video, "audio": b.audio, "labels": b.labels,
+                  "valid": b.valid}
+        if b.aug is not None:
+            arrays["aug"] = b.aug
+        jax.block_until_ready(shard_batch(trainer.mesh, arrays))
+    transfer_ms = (time.perf_counter() - t0) / 3 * 1000
+
     print(
         json.dumps(
             {
@@ -212,6 +222,7 @@ def bench_epoch(
                 "unit": "ms_per_step_in_epoch",
                 "serial_ms_per_step": round(serial_ms, 1),
                 "chained_step_ms": round(chained_ms, 1),
+                "transfer_floor_ms": round(transfer_ms, 1),
                 "pipeline_overhead_ms": round(pipe_ms - chained_ms, 1),
                 "clips_per_sec": round(batch / pipe_ms * 1000, 1),
                 "vs_baseline": round((batch / pipe_ms * 1000) / (1 / 0.9), 2),

@@ -625,13 +625,25 @@ class EmotionTrainer:
         In-flight steps are capped at 3 (block on step N-3's loss scalar)
         so queued input buffers can't exhaust device memory when host
         decode outruns the device.
+
+        Staging runs on a PRODUCER THREAD (bounded queue, depth 2): on
+        transports where `jax.device_put` blocks its caller until the bytes
+        land (the tunneled-chip runtime does; some PJRT plugins do for large
+        buffers), same-thread staging would serialize transfer behind the
+        loop — measured 1.7 s/step vs the 96 ms chained step at b64.  The
+        blocking put releases the GIL during network/DMA I/O, so a separate
+        thread genuinely overlaps it with step dispatch — the exact pattern
+        that doubled serving throughput (`runtime/runner.py::stage` called
+        from the batcher's preprocess stage).
         """
+        import queue as _queue
+        import threading as _threading
+
         step_outs: list = []  # (total, cls_l, ctr_l, preds) device arrays
         sizes: list = []
         valids: list = []
         labels_list: list = []
         first = True
-        it = iter(loader)
 
         def _stage(batch):
             arrays = {
@@ -644,37 +656,67 @@ class EmotionTrainer:
                 arrays["aug"] = batch.aug
             return batch, shard_batch(self.mesh, arrays)
 
-        nxt = next(it, None)
-        staged = _stage(nxt) if nxt is not None else None
-        while staged is not None:
-            batch, sb = staged
-            aug = sb.get("aug")
-            if train:
-                reset = np.float32(1.0 if (reset_opt_first and first) else 0.0)
-                first = False
-                state, total, cls_l, ctr_l, preds = self._train_step(
-                    state, sb["video"], sb["audio"], sb["labels"], sb["valid"],
-                    mask, lrs, reset, aug
-                )
-            else:
-                total, cls_l, ctr_l, preds = self._eval_step(
-                    state.params,
-                    state.batch_stats,
-                    sb["video"],
-                    sb["audio"],
-                    sb["labels"],
-                    sb["valid"],
-                    aug,
-                )
-            step_outs.append((total, cls_l, ctr_l, preds))
-            sizes.append(batch.size)
-            valids.append(np.asarray(batch.valid))
-            labels_list.append(batch.labels)
-            if len(step_outs) >= 3:
-                step_outs[-3][0].block_until_ready()
-            nxt = next(it, None)  # host decode of batch N+1 ...
-            staged = _stage(nxt) if nxt is not None else None  # ... + async H2D
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        err: list = []
+        stop = _threading.Event()  # set if the consumer dies mid-epoch
 
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def _producer():
+            try:
+                for b in loader:
+                    if not _put(_stage(b)):  # decode + (possibly blocking) H2D
+                        return
+            except BaseException as e:  # surface loader errors in the main thread
+                err.append(e)
+            finally:
+                _put(None)
+
+        prod = _threading.Thread(target=_producer, daemon=True)
+        prod.start()
+        try:
+            while True:
+                staged = q.get()
+                if staged is None:
+                    break
+                batch, sb = staged
+                aug = sb.get("aug")
+                if train:
+                    reset = np.float32(1.0 if (reset_opt_first and first) else 0.0)
+                    first = False
+                    state, total, cls_l, ctr_l, preds = self._train_step(
+                        state, sb["video"], sb["audio"], sb["labels"],
+                        sb["valid"], mask, lrs, reset, aug
+                    )
+                else:
+                    total, cls_l, ctr_l, preds = self._eval_step(
+                        state.params,
+                        state.batch_stats,
+                        sb["video"],
+                        sb["audio"],
+                        sb["labels"],
+                        sb["valid"],
+                        aug,
+                    )
+                step_outs.append((total, cls_l, ctr_l, preds))
+                sizes.append(batch.size)
+                valids.append(np.asarray(batch.valid))
+                labels_list.append(batch.labels)
+                if len(step_outs) >= 3:
+                    step_outs[-3][0].block_until_ready()
+        finally:
+            stop.set()  # unblock the producer if we die mid-epoch
+
+        prod.join()
+        if err:
+            raise err[0]
         fetched = jax.device_get(step_outs)  # the ONE device sync per epoch
         totals = np.zeros(3)
         n = 0
