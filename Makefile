@@ -1,4 +1,11 @@
-.PHONY: test native serve-direct serve-queued bench bench-serving bench-train data lint
+.PHONY: test native serve-direct serve-queued bench bench-serving bench-train data lint gate
+
+# Standing accuracy regression gate (VERDICT r3 item 5): trains gated fusion
+# end-to-end on the strong-signal synthetic corpus, asserts actor-held-out
+# test acc >= 0.70. Run every round; record the JSON line in
+# benchmarks/RESULTS.md next to the throughput headline.
+gate:
+	python tools/convergence_gate.py
 
 test:
 	python -m pytest tests/ -q

@@ -38,7 +38,6 @@ def run_child(flat: str, batch: int, dtype: str, stage: int) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from multimodalemotionrecognition_tpu.config import ModelConfig, TrainConfig
-    from multimodalemotionrecognition_tpu.data.pipeline import Batch
     from multimodalemotionrecognition_tpu.parallel.mesh import shard_batch
     from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
     from multimodalemotionrecognition_tpu.train.trainer import EmotionTrainer
@@ -78,7 +77,7 @@ def run_child(flat: str, batch: int, dtype: str, stage: int) -> None:
     stats = dev.memory_stats() or {}
     live = int(
         sum(
-            np.asarray(l).size
+            l.size  # shape metadata only — no host fetch over the tunnel
             for l, m in zip(
                 jax.tree_util.tree_leaves(state.params),
                 jax.tree_util.tree_leaves(mask),
@@ -140,7 +139,10 @@ def main() -> None:
               f"peak {out['peak_bytes_in_use'] / 2**30:.2f} GiB")
 
     delta = None
-    if all(not r.get("failed") for r in results.values()):
+    if all(
+        not r.get("failed") and r.get("peak_bytes_in_use", -1) >= 0
+        for r in results.values()
+    ):
         delta = results["on"]["peak_bytes_in_use"] - results["off"][
             "peak_bytes_in_use"
         ]

@@ -713,8 +713,10 @@ class EmotionTrainer:
                     step_outs[-3][0].block_until_ready()
         finally:
             stop.set()  # unblock the producer if we die mid-epoch
+            # Join inside finally so a consumer exception can't leave a zombie
+            # producer mid-device_put on a loader the caller may retry with.
+            prod.join()
 
-        prod.join()
         if err:
             raise err[0]
         fetched = jax.device_get(step_outs)  # the ONE device sync per epoch
