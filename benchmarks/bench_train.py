@@ -27,6 +27,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _enable_compile_cache() -> None:
+    """Persistent compile cache — tunnel compiles of the train step run
+    minutes; re-runs (e.g. fused-kernel A/B pairs) must not pay twice."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_step(
     batch: int,
     use_wavlm: bool,
@@ -36,6 +50,8 @@ def bench_step(
 ) -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from multimodalemotionrecognition_tpu.config import ModelConfig, TrainConfig
     from multimodalemotionrecognition_tpu.train.freeze import lr_tree, trainable_mask
@@ -120,6 +136,8 @@ def bench_epoch(
 
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from multimodalemotionrecognition_tpu.config import ModelConfig, TrainConfig
     from multimodalemotionrecognition_tpu.data.pipeline import Batch

@@ -92,14 +92,13 @@ class WavLMConfig:
     # fused_attention/fused_conv platform gates above.
     fused_train_layers: int = 0
     fused_train_conv: bool = False
-    # Feed-forward sublayer kernel (ops/pallas_wavlm_mlp.py) — PROTOTYPE,
-    # off by default: "auto" resolves False unless EMO_FUSED_MLP=1 (XLA
-    # already runs the MLP matmuls near roofline; the kernel's candidate win
-    # is only the dropout/GELU/LN glue — the hardware measurement decides,
-    # benchmarks/RESULTS.md).  True/False force; "interpret" for CPU tests.
-    # Applies only on layers where the attention kernel runs (same padded
-    # layout); has a custom VJP, so trainable layers are allowed.
-    fused_mlp: object = "auto"
+    # NOTE: a fused feed-forward sublayer kernel (custom VJP, flash-style
+    # recompute backward) was prototyped in round 3 and REMOVED in round 4
+    # after hardware measurement: stage-2 train step b64 bf16 was ~10%
+    # SLOWER with it in two independent A/B sessions (benchmarks/RESULTS.md
+    # round-4 section) — XLA already runs the MLP matmuls at ~143 TFLOP/s
+    # (roofline) and fuses the GELU/dropout/LN glue. Same conclusion as the
+    # full-block fusion kernel: don't hand-schedule what XLA already fuses.
 
 
 def _relative_position_buckets(
@@ -143,15 +142,6 @@ def _resolve_fused(flag, train: bool) -> bool:
             and jax.device_count() == 1
         )
     return bool(flag)
-
-
-def _resolve_fused_mlp(flag) -> object:
-    """Resolve the prototype fused-MLP gate: "auto" is an EMO_FUSED_MLP=1
-    opt-in (measurement gate — see WavLMConfig.fused_mlp); True/False force;
-    "interpret" runs the kernel in interpreter mode (CPU tests)."""
-    if flag == "auto":
-        return os.environ.get("EMO_FUSED_MLP") == "1"
-    return flag
 
 
 class _DenseParamsOnly(nn.Module):
@@ -334,49 +324,18 @@ class WavLMEncoderLayer(nn.Module):
                 epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
             )(hidden_states + attn_out)
 
-        fused_mlp = _resolve_fused_mlp(cfg.fused_mlp) if fused else False
-        if fused_mlp:
-            from multimodalemotionrecognition_tpu.ops.pallas_wavlm_mlp import (
-                wavlm_fused_mlp_sublayer,
-            )
-
-            e = hidden_states.shape[-1]
-            w1, b1 = _DenseParamsOnly(
-                e, cfg.intermediate_size, name="feed_forward.intermediate_dense"
-            )()
-            w2, b2 = _DenseParamsOnly(
-                cfg.intermediate_size, e, name="feed_forward.output_dense"
-            )()
-            lns2, lnb2 = _LayerNormParamsOnly(e, name="final_layer_norm")()
-            act_p = cfg.activation_dropout if train else 0.0
-            hid_p = cfg.hidden_dropout if train else 0.0
-            if train and (act_p > 0.0 or hid_p > 0.0):
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0,
-                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
-                )
-            else:
-                seed = None
-            hidden_states = wavlm_fused_mlp_sublayer(
-                hidden_states, w1.astype(dtype), b1, w2.astype(dtype), b2,
-                lns2, lnb2,
-                eps=cfg.layer_norm_eps,
-                act_dropout=act_p,
-                hidden_dropout=hid_p,
-                dropout_seed=seed,
-                interpret=(fused_mlp == "interpret"),
-            )
-        else:
-            ff = nn.Dense(cfg.intermediate_size, dtype=dtype, name="feed_forward.intermediate_dense")(
-                hidden_states
-            )
-            ff = gelu_erf(ff)
-            ff = nn.Dropout(rate=cfg.activation_dropout, deterministic=not train)(ff)
-            ff = nn.Dense(cfg.hidden_size, dtype=dtype, name="feed_forward.output_dense")(ff)
-            ff = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(ff)
-            hidden_states = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_layer_norm"
-            )(hidden_states + ff)
+        # Feed-forward sublayer: plain XLA — a fused Pallas variant measured
+        # ~10% slower on hardware and was removed (see WavLMConfig note).
+        ff = nn.Dense(cfg.intermediate_size, dtype=dtype, name="feed_forward.intermediate_dense")(
+            hidden_states
+        )
+        ff = gelu_erf(ff)
+        ff = nn.Dropout(rate=cfg.activation_dropout, deterministic=not train)(ff)
+        ff = nn.Dense(cfg.hidden_size, dtype=dtype, name="feed_forward.output_dense")(ff)
+        ff = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(ff)
+        hidden_states = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_layer_norm"
+        )(hidden_states + ff)
         return hidden_states, position_bias
 
 
