@@ -248,9 +248,13 @@ class TrainConfig:
     video_wire: str = "auto"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
     # Rematerialize the forward during backprop (jax.checkpoint): trades
-    # ~30% extra FLOPs for a large activation-memory cut — lets batch sizes
-    # grow past HBM limits.
-    remat: bool = False
+    # extra FLOPs for an activation-memory cut — lets batch sizes grow past
+    # HBM limits.  False = off; True/"full" = checkpoint the whole forward
+    # (max cut, ~1.3x FLOPs); "dots" = policy
+    # jax.checkpoint_policies.checkpoint_dots — keep matmul/conv outputs,
+    # recompute only elementwise/norm glue (small cut, ~zero extra MXU
+    # work; the XLA-idiomatic middle ground).  Measured: bench_remat.py.
+    remat: object = False
     # PRNG implementation for the per-step stochastic streams (dropout,
     # drop-path, modality dropout, SpecAugment, span masking, layerdrop).
     # "threefry" is JAX's default counter-based PRNG: identical bits on any

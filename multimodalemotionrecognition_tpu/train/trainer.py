@@ -414,8 +414,18 @@ class EmotionTrainer:
 
             if self.tc.remat:
                 # Rematerialize activations during backprop (jax.checkpoint):
-                # ~1.3x FLOPs for a large HBM cut on the encoder towers.
-                forward = jax.checkpoint(forward)
+                # "full"/True re-runs the whole forward (~1.3x FLOPs, max HBM
+                # cut); "dots" keeps matmul/conv outputs and recomputes only
+                # the elementwise/norm glue between them (policy
+                # checkpoint_dots) — near-zero extra MXU work for a smaller
+                # cut.  Peak-HBM numbers: benchmarks/bench_remat.py.
+                if self.tc.remat == "dots":
+                    forward = jax.checkpoint(
+                        forward,
+                        policy=jax.checkpoint_policies.checkpoint_dots,
+                    )
+                else:
+                    forward = jax.checkpoint(forward)
 
             def loss_fn(params):
                 outputs, aux, updates = forward(params, video, audio)

@@ -499,6 +499,41 @@ class TestStaticAdScope:
             )
 
 
+class TestRematEquivalence:
+    """`TrainConfig.remat` (False / "dots" / True) only changes WHAT the
+    backward saves vs recomputes — jax.checkpoint recomputes the identical
+    operations, so the updated params must match the no-remat step almost
+    exactly (tiny float reassociation is allowed)."""
+
+    @pytest.mark.parametrize("remat", ["dots", True])
+    def test_remat_step_matches_off(self, remat):
+        cfg = _small_model_cfg(
+            "xattn", xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0
+        )
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video),
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.valid),
+        )
+        results = []
+        for r in (False, remat):
+            tc = TrainConfig(lr=1e-3, donate_buffers=False, remat=r)
+            trainer = EmotionTrainer(cfg, tc)
+            state = trainer.init_state()
+            mask = trainable_mask(state.params, cfg, tc, stage=0)
+            lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+            for _ in range(2):
+                state, *_ = trainer._train_step(state, *args, mask, lrs)
+            results.append(flatten_dict(jax.device_get(state.params)))
+        a, b = results
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-6, err_msg=str(k)
+            )
+
+
 class TestStageFlipNoRecompile:
     """The stage-1->2 optimizer rebuild happens INSIDE the jitted step via
     the reset_opt flag (round 1 re-initialized opt_state eagerly, which cost
