@@ -249,7 +249,7 @@ class TrainConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
     # Rematerialize the forward during backprop (jax.checkpoint): trades
     # extra FLOPs for an activation-memory cut — lets batch sizes grow past
-    # HBM limits.  False = off; True/"full" = checkpoint the whole forward
+    # HBM limits.  False/"off" = disabled; True/"full" = checkpoint the whole forward
     # (max cut, ~1.3x FLOPs); "dots" = policy
     # jax.checkpoint_policies.checkpoint_dots — keep matmul/conv outputs,
     # recompute only elementwise/norm glue (small cut, ~zero extra MXU

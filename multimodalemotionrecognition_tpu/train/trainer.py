@@ -238,6 +238,7 @@ class EmotionTrainer:
         self.tc = train_config
         self.dc = data_config
         self.model = build_model(model_config)
+        self._validate_train_config()
         self.mesh = mesh if mesh is not None else make_mesh(train_config.mesh_shape)
         self.is_single_modality = model_config.fusion in {"audio", "video"}
         self._train_step = None
@@ -329,8 +330,9 @@ class EmotionTrainer:
     # jitted steps
     # ------------------------------------------------------------------
 
-    def _build_steps(self):
-        self._adam_core = optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+    def _validate_train_config(self):
+        """Fail fast on mode-string typos (advisor r4: a bad `remat` string
+        used to silently enable FULL rematerialization)."""
         if self.tc.flat_optimizer not in ("auto", "on", "off"):
             raise ValueError(
                 f"TrainConfig.flat_optimizer must be 'auto', 'on' or 'off'; "
@@ -341,6 +343,15 @@ class EmotionTrainer:
                 f"TrainConfig.rng_impl must be 'auto', 'rbg' or 'threefry'; "
                 f"got {self.tc.rng_impl!r}"
             )
+        if self.tc.remat not in (False, True, "full", "dots", "off"):
+            raise ValueError(
+                f"TrainConfig.remat must be False, True, 'full', 'dots' or "
+                f"'off'; got {self.tc.remat!r}"
+            )
+
+    def _build_steps(self):
+        self._adam_core = optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+        self._validate_train_config()
         rng_impl = self.tc.rng_impl
         if rng_impl == "auto":
             rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
@@ -412,7 +423,7 @@ class EmotionTrainer:
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 return self._apply(variables, video, audio, True, rngs, mutable=True)
 
-            if self.tc.remat:
+            if self.tc.remat not in (False, "off"):
                 # Rematerialize activations during backprop (jax.checkpoint):
                 # "full"/True re-runs the whole forward (~1.3x FLOPs, max HBM
                 # cut); "dots" keeps matmul/conv outputs and recomputes only

@@ -97,6 +97,32 @@ class TestStreamingSession:
         assert out["window_seconds"] == 3.0
         assert out["num_audio_samples"] == 48000
 
+    def test_audio_window_content_across_chunk_boundaries(self):
+        # The last 3 s must be the newest samples in arrival order, regardless
+        # of how they were chunked (exercises ring wraparound).
+        s = StreamingEmotionSession(predictor=_FakePredictor(), waveform_sample_rate=16000)
+        stream = np.arange(16000 * 9, dtype=np.float32)
+        for start in range(0, stream.size, 7001):  # odd chunk size -> wraps misaligned
+            s.add_audio_chunk(stream[start : start + 7001], sample_rate=16000)
+        _, wav = s.build_window(now=100.0)
+        np.testing.assert_array_equal(wav, stream[-48000:])
+
+    def test_oversized_single_chunk_keeps_tail(self):
+        s = StreamingEmotionSession(predictor=_FakePredictor(), waveform_sample_rate=16000)
+        big = np.arange(16000 * 10, dtype=np.float32)  # > 6 s cap in one message
+        s.add_audio_chunk(big, sample_rate=16000)
+        assert s.audio_sample_count == 16000 * 6
+        _, wav = s.build_window(now=0.0)
+        np.testing.assert_array_equal(wav, big[-48000:])
+
+    def test_sample_rate_change_resets_audio(self):
+        s = StreamingEmotionSession(predictor=_FakePredictor(), waveform_sample_rate=16000)
+        s.add_audio_chunk(np.zeros(48000, np.float32), sample_rate=16000)
+        s.add_audio_chunk(np.ones(8000, np.float32), sample_rate=8000)
+        # Old-rate samples are dropped; only the new-rate second remains.
+        assert s.waveform_sample_rate == 8000
+        assert s.audio_sample_count == 8000
+
 
 class TestCodecs:
     def test_pcm16_roundtrip(self):

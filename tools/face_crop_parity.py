@@ -122,6 +122,7 @@ def main() -> None:
     video0 = jnp.zeros((1, 8, 3, 112, 112), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), video0)
     weights_src = "random_init"
+    weights_sha256 = None
     if args.weights:
         from multimodalemotionrecognition_tpu.convert.torch_import import (
             load_reference_checkpoint,
@@ -147,6 +148,13 @@ def main() -> None:
             f"unused={len(report.unused_torch_keys)})"
         )
         weights_src = args.weights
+        # Content hash so the committed artifact's provenance survives the
+        # machine-local path (advisor r4 finding).
+        import hashlib
+
+        weights_sha256 = hashlib.sha256(
+            Path(args.weights).read_bytes()
+        ).hexdigest()
 
     @jax.jit
     def forward(video):
@@ -255,6 +263,7 @@ def main() -> None:
         "scene_size_px": args.size,
         "n_scenes": len(scenes),
         "weights": weights_src,
+        "weights_sha256": weights_sha256,
         "logit_scale_std": logit_scale,
         "sensitivity_curve": curve,
         "detectors": tri,
