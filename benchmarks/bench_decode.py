@@ -42,14 +42,26 @@ LEVERS = {
     "skip": {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "1"},
     "band": {"EMO_DECODE_SKIP": "0", "EMO_SWS_FULL": "0"},
     "both": {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "0"},
+    # "2" forces the CFR pre-scan even for codecs the r5 per-codec gate
+    # excludes (VP8/VP9) — on webm this re-measures the pre-scan cost the
+    # gate recovers; on h264 it is identical to "both".
+    "force": {"EMO_DECODE_SKIP": "2", "EMO_SWS_FULL": "0"},
 }
+
+# "mp4b" = same synthetic clip re-muxed with a B-frame-heavy x264 config
+# (bframes=8, non-adaptive, no b-pyramid -> all B-frames are non-reference
+# and droppable), approximating real browser x264 uploads where NONREF skip
+# is supposed to pay (VERDICT r4 item 5).
+X264_BFRAME_OPTS = "bf=8:b_strategy=0:b-pyramid=none"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
-        "--containers", default="mp4,webm", help="comma list of mp4/webm"
+        "--containers",
+        default="mp4,webm,mp4b",
+        help="comma list of mp4/webm/mp4b (mp4b = B-frame-heavy x264)",
     )
     args = ap.parse_args()
 
@@ -62,7 +74,12 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         for container in args.containers.split(","):
-            fname, payload = _make_clip_bytes(tmp, container)
+            if container == "mp4b":
+                os.environ["EMO_ENCODE_X264OPTS"] = X264_BFRAME_OPTS
+                fname, payload = _make_clip_bytes(tmp, "mp4")
+                os.environ.pop("EMO_ENCODE_X264OPTS", None)
+            else:
+                fname, payload = _make_clip_bytes(tmp, container)
             results[container] = {}
             for lever, env in LEVERS.items():
                 os.environ.update(env)

@@ -48,6 +48,10 @@ CONFIGS = {
 
 def _make_checkpoint(path: str) -> None:
     import jax
+
+    # Random-init weights need no TPU; a tunneled-TPU init is one giant
+    # UNCACHED compile (~30+ min observed round 5).  Pin this child to CPU.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from multimodalemotionrecognition_tpu.config import ModelConfig

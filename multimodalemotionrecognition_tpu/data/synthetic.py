@@ -64,9 +64,24 @@ def generate_synthetic_ravdess(
     seed: int = 0,
     clips_per_pair: int = 1,
     strong_signal: bool = False,
+    signal_strength: float = 1.0,
 ) -> int:
-    """Write paired clips; returns the number of pairs created."""
+    """Write paired clips; returns the number of pairs created.
+
+    `signal_strength` (strong-signal regime only) scales how separable the
+    emotion code is, for gate-resolution calibration (VERDICT r4 item 4:
+    the s=1.0 corpus saturates at 1.000 accuracy, leaving the gate with no
+    margin signal).  s=1.0 reproduces the round-3 corpus byte-for-byte
+    (identical RNG draw sequence); lower s shrinks tone amplitude, raises
+    the audio noise floor, widens f0 jitter, fades video block contrast,
+    widens position jitter into neighboring octants, and compresses the
+    oscillation-rate spacing.
+    """
     import cv2
+
+    s = float(signal_strength)
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"signal_strength must be in [0, 1]; got {s}")
 
     if clips_per_pair > len(_CLIP_COMBOS):
         raise ValueError(f"clips_per_pair <= {len(_CLIP_COMBOS)}")
@@ -97,12 +112,20 @@ def generate_synthetic_ravdess(
                     bw = max(int(size * 0.14 * block_scale), 8)
                     bh = max(int(h * 0.45 * block_scale), 8)
                     slot_w = (size - bw) / n_slots
-                    x_base = int(e_idx * slot_w + rng.randint(0, max(int(slot_w * 0.5), 1)))
-                    osc = 1.0 + e_idx  # vertical oscillation rate
+                    # at s<1 the jitter bleeds into neighboring octants
+                    jit_w = max(int(slot_w * (0.5 + 0.8 * (1 - s))), 1)
+                    x_base = int(e_idx * slot_w + rng.randint(0, jit_w))
+                    x_base = min(x_base, size - bw)
+                    # rate spacing compresses as s drops (classes confusable)
+                    osc = 1.0 + e_idx * (0.4 + 0.6 * s)
+                    color = tuple(
+                        int(background + (c - background) * (0.4 + 0.6 * s))
+                        for c in (110, 140, 200)
+                    )
                     for i in range(n_frames):
                         frame = np.full((h, size, 3), background, np.uint8)
                         y0 = int((h - bh) * 0.5 * (1 + 0.6 * np.sin(osc * i / 3.0)))
-                        frame[y0 : y0 + bh, x_base : x_base + bw] = (110, 140, 200)
+                        frame[y0 : y0 + bh, x_base : x_base + bw] = color
                         writer.write(frame)
                 else:
                     for i in range(n_frames):
@@ -115,13 +138,16 @@ def generate_synthetic_ravdess(
 
                 t = np.arange(int(sample_rate * seconds)) / sample_rate
                 if strong_signal:
-                    f0 = (150.0 + 45.0 * emotion) * (1 + 0.02 * (rng.rand() - 0.5))
+                    jitter = 0.02 + 0.05 * (1 - s)
+                    f0 = (150.0 + 45.0 * emotion) * (1 + jitter * (rng.rand() - 0.5))
                     ph = 2 * np.pi * rng.rand(3)
+                    amp = 0.3 + 0.7 * s
+                    noise_floor = 0.02 + 0.15 * (1 - s)
                     wav = (
-                        0.40 * timbre[0] * np.sin(2 * np.pi * f0 * t + ph[0])
-                        + 0.20 * timbre[1] * np.sin(2 * np.pi * 2 * f0 * t + ph[1])
-                        + 0.10 * timbre[2] * np.sin(2 * np.pi * 3 * f0 * t + ph[2])
-                        + 0.02 * rng.randn(t.size)
+                        0.40 * amp * timbre[0] * np.sin(2 * np.pi * f0 * t + ph[0])
+                        + 0.20 * amp * timbre[1] * np.sin(2 * np.pi * 2 * f0 * t + ph[1])
+                        + 0.10 * amp * timbre[2] * np.sin(2 * np.pi * 3 * f0 * t + ph[2])
+                        + noise_floor * rng.randn(t.size)
                     )
                 else:
                     f0 = 160 + 40 * emotion

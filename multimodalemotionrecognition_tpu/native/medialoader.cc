@@ -232,7 +232,7 @@ constexpr int kSkipModeFailed = -21;
 // form a perfect arithmetic progression start + k*dur covering 0..n-1; VFR
 // or gapped streams fall back to the counting decoder.
 bool scan_cfr_pts(const char* path, int64_t* start_out, int64_t* dur_out,
-                  long long* nframes_out) {
+                  long long* nframes_out, bool force_any_codec) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
   if (avformat_find_stream_info(fmt, nullptr) < 0) {
@@ -243,6 +243,26 @@ bool scan_cfr_pts(const char* path, int64_t* start_out, int64_t* dur_out,
   if (si < 0) {
     avformat_close_input(&fmt);
     return false;
+  }
+  if (!force_any_codec) {
+    // Per-codec gate (VERDICT r4 item 5): NONREF skip only pays when the
+    // stream can contain droppable non-reference frames.  VP8 has no
+    // B-frames and its altref/golden frames are reference frames, so
+    // AVDISCARD_NONREF drops nothing — the pre-scan's full-packet demux
+    // (~4 ms/clip measured on webm, bench_decode.py r4) is pure loss.
+    // Same for lossless/intra codecs.  h264/h265/mpeg4 keep the lever.
+    switch (fmt->streams[si]->codecpar->codec_id) {
+      case AV_CODEC_ID_VP8:
+      case AV_CODEC_ID_VP9:
+      case AV_CODEC_ID_AV1:
+      case AV_CODEC_ID_MJPEG:
+      case AV_CODEC_ID_RAWVIDEO:
+      case AV_CODEC_ID_FFV1:
+        avformat_close_input(&fmt);
+        return false;
+      default:
+        break;
+    }
   }
   std::vector<int64_t> pts;
   AVPacket* pkt = av_packet_alloc();
@@ -473,12 +493,15 @@ int ml_decode_video_crop(const char* path, const long long* indices,
                          int crop_h, int out_w, int out_h, unsigned char* out) {
   if (n_indices <= 0) return 0;
   // Read per call (not latched) so tests can toggle via os.environ/putenv.
+  // "0" = off; "2" = force (attempt skip even for codecs the per-codec gate
+  // excludes — used by tests/benches to exercise the gated path); else auto.
   const char* skip_env = getenv("EMO_DECODE_SKIP");
   const bool try_skip = !(skip_env && skip_env[0] == '0');
+  const bool force_any_codec = skip_env && skip_env[0] == '2';
   if (try_skip) {
     int64_t start = 0, dur = 0;
     long long nframes = 0;
-    if (scan_cfr_pts(path, &start, &dur, &nframes)) {
+    if (scan_cfr_pts(path, &start, &dur, &nframes, force_any_codec)) {
       int rc = decode_video_crop_impl(path, indices, n_indices, crop_x,
                                       crop_y, crop_w, crop_h, out_w, out_h,
                                       out, /*use_skip=*/true, start, dur);
@@ -635,7 +658,16 @@ int ml_encode_av(const char* path, const unsigned char* frames, int n_frames,
     if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
       v.enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     AVDictionary* opts = nullptr;
-    if (!webm) av_dict_set(&opts, "preset", "veryfast", 0);
+    if (!webm) {
+      av_dict_set(&opts, "preset", "veryfast", 0);
+      // Extra x264 private options (colon-separated key=val), e.g.
+      // "bf=8:b_strategy=0:b-pyramid=none" — lets bench_decode.py mux a
+      // B-frame-heavy clip to quantify what NONREF skip buys on real
+      // browser-style x264 uploads (VERDICT r4 item 5).
+      const char* extra = getenv("EMO_ENCODE_X264OPTS");
+      if (extra && extra[0])
+        av_dict_parse_string(&opts, extra, "=", ":", 0);
+    }
     int r = avcodec_open2(v.enc, vc, &opts);
     av_dict_free(&opts);
     if (r < 0) return fail(-33);

@@ -622,6 +622,7 @@ class TestNativePipelineIntegration:
             ("skip", {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "1"}),
             ("band", {"EMO_DECODE_SKIP": "0", "EMO_SWS_FULL": "0"}),
             ("both", {"EMO_DECODE_SKIP": "1", "EMO_SWS_FULL": "0"}),
+            ("force", {"EMO_DECODE_SKIP": "2", "EMO_SWS_FULL": "0"}),
         ):
             for k, v in env.items():
                 monkeypatch.setenv(k, v)
@@ -633,11 +634,48 @@ class TestNativePipelineIntegration:
                     str(path), idx, 112, 112, crop=crop
                 ),
             }
-        for name in ("skip", "band", "both"):
+        for name in ("skip", "band", "both", "force"):
             for kind in ("full", "crop"):
                 np.testing.assert_array_equal(
                     outs[name][kind], outs["legacy"][kind],
                     err_msg=f"{name}/{kind} differs from legacy decode",
+                )
+
+    def test_decode_skip_bit_identical_bframes_and_webm(self, tmp_path, monkeypatch):
+        """The r5 per-codec gate + B-frame skip must stay pixel-invisible:
+
+        * webm/VP8: EMO_DECODE_SKIP=1 now auto-disables the CFR pre-scan
+          (no droppable frames), =2 forces it — all three byte-identical.
+        * B-frame-heavy x264 (bframes=8, no b-pyramid -> every B is
+          non-reference): skip mode drops them between samples; sampled
+          frames decode from reference frames only, so bytes match.
+        """
+        from multimodalemotionrecognition_tpu.native import medialoader
+
+        if not medialoader.available():
+            pytest.skip("native medialoader not built")
+        frames = _synthetic_face_video(n=30)
+        clips = {}
+        clips["webm"] = tmp_path / "clip.webm"
+        medialoader.encode_av(str(clips["webm"]), frames, fps=10.0)
+        monkeypatch.setenv("EMO_ENCODE_X264OPTS", "bf=8:b_strategy=0:b-pyramid=none")
+        clips["mp4b"] = tmp_path / "clip_b.mp4"
+        medialoader.encode_av(str(clips["mp4b"]), frames, fps=10.0)
+        monkeypatch.delenv("EMO_ENCODE_X264OPTS")
+
+        for kind, path in clips.items():
+            info = medialoader.probe_video(str(path))
+            idx = np.linspace(0, info["frames"] - 1, 8).astype(int).tolist()
+            decoded = {}
+            for mode in ("0", "1", "2"):
+                monkeypatch.setenv("EMO_DECODE_SKIP", mode)
+                decoded[mode] = medialoader.decode_video_frames(
+                    str(path), idx, info["width"], info["height"]
+                )
+            for mode in ("1", "2"):
+                np.testing.assert_array_equal(
+                    decoded[mode], decoded["0"],
+                    err_msg=f"{kind} skip mode {mode} differs from legacy",
                 )
 
     def test_native_injected_bbox_crop(self, av_clip, monkeypatch):

@@ -78,6 +78,36 @@ class TestQAExport:
 
 
 class TestSynthetic:
+    def test_signal_strength_knob(self, tmp_path):
+        """s=1.0 reproduces the legacy strong-signal corpus byte-for-byte
+        (the RNG draw sequence is unchanged); s<1 produces a different,
+        harder corpus; out-of-range raises (gate-resolution knob, r5)."""
+        import pytest
+
+        from multimodalemotionrecognition_tpu.data.synthetic import (
+            generate_synthetic_ravdess,
+        )
+
+        def corpus_bytes(root, **kw):
+            generate_synthetic_ravdess(
+                root, actors=(1,), emotions=(2, 6), seconds=0.5, seed=3,
+                strong_signal=True, **kw,
+            )
+            return {
+                p.name: p.read_bytes() for p in sorted(root.rglob("03-*.wav"))
+            }
+
+        base = corpus_bytes(tmp_path / "a")
+        explicit = corpus_bytes(tmp_path / "b", signal_strength=1.0)
+        assert base == explicit
+        weak = corpus_bytes(tmp_path / "c", signal_strength=0.4)
+        assert set(weak) == set(base)
+        assert any(weak[k] != base[k] for k in base)
+        with pytest.raises(ValueError, match="signal_strength"):
+            generate_synthetic_ravdess(
+                tmp_path / "d", strong_signal=True, signal_strength=1.5
+            )
+
     def test_pairs_parse_and_decode(self, tmp_path):
         from multimodalemotionrecognition_tpu.data.media import (
             load_audio_wav,

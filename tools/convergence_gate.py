@@ -13,8 +13,16 @@ Corpus: 8 actors x 8 emotions x 4 clips = 256 pairs (data/synthetic.py
 video, per-actor nuisance variation so the split is meaningful).  Train
 actors 1-6, val 7, test 8.
 
+Round-5 resolution upgrade (VERDICT r4 item 4): the s=1.0 corpus saturated
+at 1.000 accuracy — only a catastrophic regression could miss the 0.70 band.
+`--signal_strength` (data/synthetic.py) now controls corpus separability;
+the gate default is calibrated so a healthy run lands mid-band (~0.8-0.9),
+and the report carries continuous margin metrics that move before pass/fail
+does: mean test top-1 softmax margin (p1 - p2), val F1 at epoch 3, and the
+first epoch to reach 0.8 val accuracy.
+
 Usage: python tools/convergence_gate.py [--epochs 12] [--target 0.70]
-       [--device cpu] [--root DIR]
+       [--signal_strength 0.5] [--device cpu] [--root DIR]
 Prints one JSON line; exit code 1 if below target.
 """
 
@@ -41,6 +49,12 @@ def main() -> None:
     ap.add_argument("--device", choices=["default", "cpu"], default="default")
     ap.add_argument("--root", default="", help="reuse an existing corpus dir")
     ap.add_argument("--fusion", default="gated")
+    ap.add_argument(
+        "--signal_strength",
+        type=float,
+        default=0.5,
+        help="corpus separability in [0,1]; 1.0 = the saturating r3 corpus",
+    )
     args = ap.parse_args()
 
     import jax
@@ -73,8 +87,12 @@ def main() -> None:
             seed=7,
             clips_per_pair=4,
             strong_signal=True,
+            signal_strength=args.signal_strength,
         )
-        print(f"[gate] wrote {n} pairs in {time.time() - t0:.1f}s at {root}")
+        print(
+            f"[gate] wrote {n} pairs (s={args.signal_strength}) in "
+            f"{time.time() - t0:.1f}s at {root}"
+        )
 
     from multimodalemotionrecognition_tpu.train.cli import (
         build_arg_parser,
@@ -125,6 +143,38 @@ def main() -> None:
     test_acc = float(result["test"]["acc"])
     test_f1 = float(result["test"]["f1"])
     ok = test_acc >= args.target
+
+    # ---- continuous resolution metrics (move before pass/fail does) ----
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def _probs(params, batch_stats, video, audio_wav):
+        v = trainer._device_video(video, None, None)
+        a = trainer._audio_features(audio_wav)
+        out, _, _ = trainer._apply(
+            {"params": params, "batch_stats": batch_stats}, v, a, False, None,
+            mutable=False,
+        )
+        return jax.nn.softmax(out, axis=-1)
+
+    margins = []
+    for batch in test_loader:
+        p = np.asarray(
+            _probs(state.params, state.batch_stats, batch.video, batch.audio)
+        )[np.asarray(batch.valid)]
+        top2 = np.sort(p, axis=1)[:, -2:]
+        margins.append(top2[:, 1] - top2[:, 0])
+    mean_margin = float(np.concatenate(margins).mean()) if margins else None
+
+    history = result["history"]
+    val_f1_at_3 = (
+        round(float(history[2]["val/f1"]), 4) if len(history) >= 3 else None
+    )
+    epochs_to_08 = next(
+        (row["epoch"] for row in history if row["val/acc"] >= 0.8), None
+    )
+
     print(
         json.dumps(
             {
@@ -133,8 +183,14 @@ def main() -> None:
                 "unit": "actor_heldout_test_acc",
                 "target": args.target,
                 "pass": ok,
+                "signal_strength": args.signal_strength,
                 "test_f1": round(test_f1, 4),
                 "best_val_f1": round(float(result["best_val_f1"]), 4),
+                "mean_top1_margin": (
+                    round(mean_margin, 4) if mean_margin is not None else None
+                ),
+                "val_f1_at_epoch3": val_f1_at_3,
+                "epochs_to_val_acc_0.8": epochs_to_08,
                 "epochs": args.epochs,
                 "fusion": args.fusion,
                 "train_seconds": round(train_s, 1),
