@@ -59,6 +59,48 @@ def run_child(remat: str, batch: int, dtype: str, iters: int) -> None:
         remat={"off": False, "dots": "dots", "full": True}[remat],
     )
     trainer = EmotionTrainer(cfg, tc)
+
+    # ---- AOT memory analysis (round 5): device.memory_stats() returns
+    # None on the axon backend, and actually RUNNING the step can OOM under
+    # shared-chip contention (observed: all three modes failed at b64 in a
+    # contended session where r2-r4 ran b64 fine).  The compiler's static
+    # HBM plan needs ZERO device allocation: lower the jitted step over
+    # ShapeDtypeStructs, compile, read memory_analysis().  temp_size is the
+    # activation/workspace plan — exactly what remat changes.
+    import jax.numpy as jnp
+
+    state_sds = jax.eval_shape(trainer.init_state)
+    abstract = lambda s, d: jax.ShapeDtypeStruct(s, d)  # noqa: E731
+    video_sds = abstract((batch, 8, 3, 112, 112), jnp.float32)
+    audio_sds = abstract((batch, 1, 48000), jnp.float32)
+    labels_sds = abstract((batch,), jnp.int32)
+    valid_sds = abstract((batch,), jnp.bool_)
+    mask_sds = jax.eval_shape(
+        lambda p: trainable_mask(p, cfg, tc, stage=0), state_sds.params
+    )
+    lrs_sds = jax.eval_shape(
+        lambda p: lr_tree(p, cfg, tc, stage=0, scale={}), state_sds.params
+    )
+    lowered = trainer._train_step.lower(
+        state_sds, video_sds, audio_sds, labels_sds, valid_sds,
+        mask_sds, lrs_sds, abstract((), jnp.float32), None,
+    )
+    ma = lowered.compile().memory_analysis()
+    aot = {
+        "remat": remat,
+        "batch": batch,
+        "aot_temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "aot_argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "aot_output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "aot_alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+        "aot_total_gib": round(
+            (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+             + ma.output_size_in_bytes - ma.alias_size_in_bytes) / 2**30, 3),
+    }
+    print("CHILD_AOT " + json.dumps(aot), flush=True)
+    if os.environ.get("BENCH_REMAT_AOT_ONLY"):
+        return
+
     state = trainer.init_state()
     mask = trainable_mask(state.params, cfg, tc, stage=0)
     lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
@@ -100,17 +142,30 @@ def run_child(remat: str, batch: int, dtype: str, iters: int) -> None:
     )
 
 
-def _spawn(remat: str, batch: int, dtype: str, iters: int) -> dict:
+def _spawn(remat: str, batch: int, dtype: str, iters: int,
+           aot_only: bool = False) -> dict:
+    env = {**os.environ, "BENCH_REMAT_CHILD": remat}
+    if aot_only:
+        env["BENCH_REMAT_AOT_ONLY"] = "1"
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--batch", str(batch),
          "--dtype", dtype, "--iters", str(iters)],
-        env={**os.environ, "BENCH_REMAT_CHILD": remat},
+        env=env,
         capture_output=True,
         text=True,
     )
+    aot = {}
     for line in proc.stdout.splitlines():
+        if line.startswith("CHILD_AOT "):
+            aot = json.loads(line[len("CHILD_AOT "):])
         if line.startswith("CHILD_RESULT "):
-            return json.loads(line[len("CHILD_RESULT "):])
+            return {**aot, **json.loads(line[len("CHILD_RESULT "):])}
+    if aot:
+        if aot_only:
+            return aot
+        # AOT analysis succeeded but the run OOM'd (shared-chip contention):
+        # the static HBM plan is still the measurement that matters.
+        return {**aot, "run_failed": True}
     sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
     return {"remat": remat, "batch": batch, "failed": True}
 
@@ -124,6 +179,10 @@ def main() -> None:
     ap.add_argument(
         "--probe", action="store_true",
         help="also find the largest admissible batch per mode (doubling)",
+    )
+    ap.add_argument(
+        "--hbm_gib", type=float, default=16.0,
+        help="chip HBM capacity the AOT probe checks against (v5e: 16)",
     )
     args = ap.parse_args()
 
@@ -141,14 +200,18 @@ def main() -> None:
         print(f"[bench_remat] {mode}: {r}")
 
     if args.probe:
+        # Round-5 probe: admissibility from the compiler's static HBM plan
+        # (AOT-only children — no allocation, so shared-chip contention
+        # can't fake an OOM).  A mode's max batch = largest doubling whose
+        # aot_total fits the chip (v5e: 16 GiB HBM).
         for mode in args.modes.split(","):
             b = args.batch * 2
             while b <= 512:
-                print(f"[bench_remat] probe {mode} b{b}")
-                r = _spawn(mode, b, args.dtype, 2)
+                print(f"[bench_remat] probe {mode} b{b} (AOT)")
+                r = _spawn(mode, b, args.dtype, 2, aot_only=True)
                 results.append(r)
                 print(f"[bench_remat] probe {mode} b{b}: {r}")
-                if r.get("failed"):
+                if r.get("failed") or r.get("aot_total_gib", 0) > args.hbm_gib:
                     break
                 b *= 2
 

@@ -152,33 +152,57 @@ def masked_adam_update(
         )
         return optax.apply_updates(params, deltas), opt_out
 
+    # Lane-aligned 2D flat layout (round 5).  A single 106M-element 1-D
+    # buffer is NOT safe on this backend: XLA's vectorizer rewrites big 1-D
+    # elementwise chains to [N/8, 8] and then assigns layout T(8,128) — only
+    # 8 of 128 lanes used, a measured 16x HBM expansion (six 6.3 GiB temps;
+    # the b64 all-trainable step planned 39.6G and failed to COMPILE).  A
+    # post-hoc reshape to [N/128, 128] gets canonicalized away.  So the flat
+    # buffers are built 2D from the start: each leaf is padded to a multiple
+    # of 128 and viewed as [rows, 128], leaves concatenate along rows, and
+    # every elementwise op runs on a genuinely-2D [R, 128] tensor whose
+    # (8,128) tiles pack fully.  Per-leaf pad waste is <=127 elements/leaf.
     sizes = [int(np.prod(p.shape)) for p in leaves_p]
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    rows = [(n + 127) // 128 for n in sizes]
+    row_offsets = np.concatenate([[0], np.cumsum(rows)])
+
+    def _leaf2d(x, n, r):
+        flat = x.reshape(-1).astype(jnp.float32)
+        if r * 128 != n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((r * 128 - n,), jnp.float32)]
+            )
+        return flat.reshape(r, 128)
 
     def _cat(tree):
         return jnp.concatenate(
             [
-                x.reshape(-1).astype(jnp.float32)
-                for x in treedef.flatten_up_to(tree)
+                _leaf2d(x, n, r)
+                for x, n, r in zip(treedef.flatten_up_to(tree), sizes, rows)
             ]
         )
 
     def _cat_scalars(tree):
         # Per-leaf runtime scalars (mask / lr) broadcast into
-        # segment-constant flat vectors.
+        # segment-constant flat blocks.  Pad rows replicate the scalar —
+        # harmless: _split drops pad lanes, and pad positions contribute
+        # only to other pad positions.
         return jnp.concatenate(
             [
-                jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n,))
-                for x, n in zip(treedef.flatten_up_to(tree), sizes)
+                jnp.broadcast_to(
+                    jnp.asarray(x, jnp.float32).reshape(1, 1), (r, 128)
+                )
+                for x, r in zip(treedef.flatten_up_to(tree), rows)
             ]
         )
 
-    def _split(flat_vec):
+    def _split(flat_2d):
         leaves = [
-            jax.lax.slice(flat_vec, (int(o),), (int(o) + n,))
+            jax.lax.slice(flat_2d, (int(ro), 0), (int(ro) + r, 128))
+            .reshape(-1)[:n]
             .reshape(p.shape)
             .astype(p.dtype)
-            for p, o, n in zip(leaves_p, offsets[:-1], sizes)
+            for p, ro, r, n in zip(leaves_p, row_offsets[:-1], rows, sizes)
         ]
         return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -817,13 +817,13 @@ class TestFlatOptimizer:
         np.testing.assert_array_equal(np.asarray(pa["d"]), np.asarray(params["d"]))
 
     def test_flat_optimizer_value_validated(self):
+        # r5: validation moved to construction time (fail fast; advisor r4
+        # asked the same for remat).
         cfg = _small_model_cfg("concat")
-        trainer = EmotionTrainer(cfg, TrainConfig(flat_optimizer="On"))
         with pytest.raises(ValueError, match="flat_optimizer"):
-            trainer._build_steps()
-        trainer = EmotionTrainer(cfg, TrainConfig(rng_impl="xyz"))
+            EmotionTrainer(cfg, TrainConfig(flat_optimizer="On"))
         with pytest.raises(ValueError, match="rng_impl"):
-            trainer._build_steps()
+            EmotionTrainer(cfg, TrainConfig(rng_impl="xyz"))
 
     def _run(self, flat, two_stage):
         cfg = _small_model_cfg(
