@@ -53,6 +53,31 @@ def run_child(flat: str, batch: int, dtype: str, stage: int) -> None:
         flat_optimizer=flat,
     )
     trainer = EmotionTrainer(cfg, tc)
+
+    # AOT static HBM plan (round 5): memory_stats() is None on the axon
+    # backend, so the peak comes from the compiler's memory analysis
+    # (same approach as bench_remat.py — zero device allocation needed).
+    import jax.numpy as jnp
+
+    state_sds = jax.eval_shape(trainer.init_state)
+    mask_sds = jax.eval_shape(
+        lambda p: trainable_mask(p, cfg, tc, stage=stage), state_sds.params
+    )
+    lrs_sds = jax.eval_shape(
+        lambda p: lr_tree(p, cfg, tc, stage=stage, scale={}), state_sds.params
+    )
+    sds = lambda s, d: jax.ShapeDtypeStruct(s, d)  # noqa: E731
+    ma = trainer._train_step.lower(
+        state_sds, sds((batch, 8, 3, 112, 112), jnp.float32),
+        sds((batch, 1, 48000), jnp.float32), sds((batch,), jnp.int32),
+        sds((batch,), jnp.bool_), mask_sds, lrs_sds, sds((), jnp.float32),
+        None,
+    ).compile().memory_analysis()
+    aot_total = (
+        ma.temp_size_in_bytes + ma.argument_size_in_bytes
+        + ma.output_size_in_bytes - ma.alias_size_in_bytes
+    )
+
     state = trainer.init_state()
     mask = trainable_mask(state.params, cfg, tc, stage=stage)
     lrs = lr_tree(state.params, cfg, tc, stage=stage, scale={})
@@ -69,9 +94,15 @@ def run_child(flat: str, batch: int, dtype: str, stage: int) -> None:
     )
     args = (sb["video"], sb["audio"], sb["labels"], sb["valid"], mask, lrs,
             np.float32(0.0), None)
-    for _ in range(3):
-        state, total, *_ = trainer._train_step(state, *args)
+    state, total, *_ = trainer._train_step(state, *args)  # compile + warm
     np.asarray(total)
+    import time
+
+    t0 = time.perf_counter()
+    for _ in range(8):
+        state, total, *_ = trainer._train_step(state, *args)
+    np.asarray(total)  # chains through state — waits for every step
+    step_ms = (time.perf_counter() - t0) / 8 * 1000
 
     dev = jax.devices()[0]
     stats = dev.memory_stats() or {}
@@ -92,6 +123,9 @@ def run_child(flat: str, batch: int, dtype: str, stage: int) -> None:
                 "flat_optimizer": flat,
                 "stage": stage,
                 "live_params": live,
+                "aot_total_gib": round(aot_total / 2**30, 3),
+                "aot_temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+                "step_ms": round(step_ms, 1),
                 "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", -1)),
                 "bytes_in_use": int(stats.get("bytes_in_use", -1)),
                 "largest_alloc": int(stats.get("largest_alloc_size", -1)),
