@@ -52,8 +52,11 @@ def main() -> None:
     ap.add_argument(
         "--signal_strength",
         type=float,
-        default=0.5,
-        help="corpus separability in [0,1]; 1.0 = the saturating r3 corpus",
+        default=0.4,
+        help="corpus separability in [0,1]; 1.0 = the saturating r3 corpus. "
+        "0.4 calibrated on TPU (round 5): healthy run lands ~0.81 test acc "
+        "(s=0.5 -> 0.97, s=1.0 -> 1.00), so the 0.70 target has real "
+        "resolution — see benchmarks/gate_r05.json",
     )
     args = ap.parse_args()
 
