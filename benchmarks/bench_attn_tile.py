@@ -42,6 +42,7 @@ def _tiled_kernel(num_heads, g_tile, tp, seq_len, eps,
                   wo_ref, bo_ref, lns_ref, lnb_ref, o_ref):
     """G batch elements per grid instance; otherwise the production math
     (ops/pallas_wavlm_attn.py::_sublayer_kernel, eval path: no dropout)."""
+    import jax
     import jax.numpy as jnp
     from jax import lax
 
@@ -106,6 +107,12 @@ def tiled_call(g_tile, hidden, q, k, v, gate, bias, wo, bo, lns, lnb):
         in_specs=[nat, nat, nat, nat, gsp, bsp, wsp, rsp, rsp, rsp],
         out_specs=nat,
         out_shape=jax.ShapeDtypeStruct((b, tp, e), hidden.dtype),
+        # G>1 blocks exceed Mosaic's 16 MB default scoped-VMEM budget (G=2
+        # wants 20.4 MB); v5e has 128 MB physical — same lever the
+        # production backward kernel uses (ops/pallas_wavlm_attn.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(hidden, q, k, v, gate, bias, wo, bo, lns, lnb)
 
 
