@@ -52,7 +52,7 @@ LEVERS = {
 # (bframes=8, non-adaptive, no b-pyramid -> all B-frames are non-reference
 # and droppable), approximating real browser x264 uploads where NONREF skip
 # is supposed to pay (VERDICT r4 item 5).
-X264_BFRAME_OPTS = "bf=8:b_strategy=0:b-pyramid=none"
+X264_BFRAME_OPTS = "bf=8:b_strategy=0:b-pyramid=none:sc_threshold=0"
 
 
 def main() -> None:

@@ -661,7 +661,7 @@ int ml_encode_av(const char* path, const unsigned char* frames, int n_frames,
     if (!webm) {
       av_dict_set(&opts, "preset", "veryfast", 0);
       // Extra x264 private options (colon-separated key=val), e.g.
-      // "bf=8:b_strategy=0:b-pyramid=none" — lets bench_decode.py mux a
+      // "bf=8:b_strategy=0:b-pyramid=none:sc_threshold=0" — lets bench_decode.py mux a
       // B-frame-heavy clip to quantify what NONREF skip buys on real
       // browser-style x264 uploads (VERDICT r4 item 5).
       const char* extra = getenv("EMO_ENCODE_X264OPTS");

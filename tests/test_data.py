@@ -658,7 +658,7 @@ class TestNativePipelineIntegration:
         clips = {}
         clips["webm"] = tmp_path / "clip.webm"
         medialoader.encode_av(str(clips["webm"]), frames, fps=10.0)
-        monkeypatch.setenv("EMO_ENCODE_X264OPTS", "bf=8:b_strategy=0:b-pyramid=none")
+        monkeypatch.setenv("EMO_ENCODE_X264OPTS", "bf=8:b_strategy=0:b-pyramid=none:sc_threshold=0")
         clips["mp4b"] = tmp_path / "clip_b.mp4"
         medialoader.encode_av(str(clips["mp4b"]), frames, fps=10.0)
         monkeypatch.delenv("EMO_ENCODE_X264OPTS")
