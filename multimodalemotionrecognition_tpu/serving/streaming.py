@@ -180,9 +180,15 @@ class StreamingEmotionSession:
 
     def add_frame(self, frame: np.ndarray, timestamp: Optional[float] = None) -> None:
         ts = float(time.monotonic() if timestamp is None else timestamp)
-        self._frame_ts.append(ts)
-        self._frame_imgs.append(frame)
-        keep_from = bisect_left(self._frame_ts, ts - self.max_buffer_seconds)
+        # Client-supplied timestamps are not trusted to arrive in order (and
+        # a message omitting one falls back to server time): insert in
+        # sorted position so the bisect-based window/prune logic stays
+        # correct for any arrival order.
+        at = bisect_left(self._frame_ts, ts)
+        self._frame_ts.insert(at, ts)
+        self._frame_imgs.insert(at, frame)
+        newest = self._frame_ts[-1]
+        keep_from = bisect_left(self._frame_ts, newest - self.max_buffer_seconds)
         if keep_from:
             del self._frame_ts[:keep_from]
             del self._frame_imgs[:keep_from]

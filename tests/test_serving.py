@@ -115,6 +115,18 @@ class TestStreamingSession:
         _, wav = s.build_window(now=0.0)
         np.testing.assert_array_equal(wav, big[-48000:])
 
+    def test_out_of_order_frame_timestamps(self):
+        # Client clocks glitch: a frame arriving with an older timestamp
+        # must neither corrupt the window selection nor evict in-window
+        # frames (frames are kept sorted by timestamp).
+        s = StreamingEmotionSession(predictor=_FakePredictor(), waveform_sample_rate=16000)
+        for ts in (5.0, 0.5, 6.0, 7.0):
+            s.add_frame(np.full((2, 2, 3), int(ts * 10), np.uint8), timestamp=ts)
+        assert [t for t, _ in s.frames] == [5.0, 6.0, 7.0]  # 0.5 aged out (7-6 cap)
+        frames, _ = s.build_window(now=7.0)
+        # window = last 3 s -> ts in [4, 7]
+        assert [int(f[0, 0, 0]) for f in frames] == [50, 60, 70]
+
     def test_sample_rate_change_resets_audio(self):
         s = StreamingEmotionSession(predictor=_FakePredictor(), waveform_sample_rate=16000)
         s.add_audio_chunk(np.zeros(48000, np.float32), sample_rate=16000)

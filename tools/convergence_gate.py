@@ -159,6 +159,10 @@ def main() -> None:
             {"params": params, "batch_stats": batch_stats}, v, a, False, None,
             mutable=False,
         )
+        if args.fusion == "late":
+            # Reference quirk: late fusion already returns probabilities —
+            # re-softmaxing would compress margins toward uniform.
+            return out
         return jax.nn.softmax(out, axis=-1)
 
     margins = []

@@ -6,7 +6,7 @@ tool implements the judge's own methodology as a standing builder-side habit:
 for every source file in the repo, compare its *normalized* line set (strip
 indentation/trailing space, drop blanks and comment-only lines) against every
 plausible reference counterpart (same basename, or any reference file within
-0.5-2x the size), and report the best match by shared-unique-line fraction.
+0.3-3x the size), and report the best match by shared-unique-line fraction.
 
 Run each round:  python tools/copy_scan.py
 Writes benchmarks/copy_scan.json with per-file best-overlap entries (sorted,
@@ -23,7 +23,7 @@ REPO = Path(__file__).resolve().parents[1]
 REF = Path("/root/reference")
 
 SOURCE_GLOBS = ["multimodalemotionrecognition_tpu/**/*.py", "multimodalemotionrecognition_tpu/**/*.cc",
-                "frontend/**/*.js", "tools/*.py", "benchmarks/*.py", "*.py"]
+                "frontend/**/*.js", "tools/*.py", "benchmarks/*.py", "tests/**/*.py", "*.py"]
 REF_GLOBS = ["**/*.py", "**/*.js", "**/*.ts", "**/*.cc", "**/*.cpp", "**/*.cu", "**/*.c", "**/*.h"]
 
 # Overlap above this fraction gets flagged loudly (the judge's bar is 30%).
