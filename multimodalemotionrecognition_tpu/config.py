@@ -255,6 +255,17 @@ class TrainConfig:
     # recompute only elementwise/norm glue (small cut, ~zero extra MXU
     # work; the XLA-idiomatic middle ground).  Measured: bench_remat.py.
     remat: object = False
+    # Gradient accumulation: split each batch into `grad_accum` equal
+    # microbatches, run them sequentially under lax.scan (only ONE
+    # microbatch's activations live at a time), combine gradients exactly
+    # (valid-count weighting reproduces the full-batch classification
+    # gradient), and apply ONE optimizer step.  Extends effective batch
+    # beyond HBM: the b256 all-trainable step plans >16 G in every remat
+    # mode (bench_remat r5), but 2x128 accumulation fits.  Standard
+    # grad-accum caveats apply: BatchNorm statistics are per-microbatch,
+    # and batch-level losses (CLIP alignment InfoNCE) see microbatch
+    # negatives (combined as the mean over microbatches).
+    grad_accum: int = 1
     # PRNG implementation for the per-step stochastic streams (dropout,
     # drop-path, modality dropout, SpecAugment, span masking, layerdrop).
     # "threefry" is JAX's default counter-based PRNG: identical bits on any

@@ -32,6 +32,7 @@ from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 import optax
 from flax import struct
@@ -332,7 +333,10 @@ class EmotionTrainer:
         mel = log_mel_spectrogram(audio_wav[:, 0, :])
         return mel[:, None, :, :]
 
-    def _losses(self, outputs, aux, labels, valid):
+    def _losses(self, outputs, aux, labels, valid, denom=None):
+        """`denom` overrides the valid-count normalizer — the grad-accum
+        path passes the FULL batch's count so per-microbatch contributions
+        sum to exactly the full-batch classification loss/gradient."""
         if self.mc.fusion == "late":
             per_sample = _nll_on_probs(outputs, labels)
         else:
@@ -340,7 +344,8 @@ class EmotionTrainer:
                 outputs, labels, max(0.0, self.tc.label_smoothing)
             )
         weight = valid.astype(per_sample.dtype)
-        denom = jnp.maximum(weight.sum(), 1.0)
+        if denom is None:
+            denom = jnp.maximum(weight.sum(), 1.0)
         cls_loss = (per_sample * weight).sum() / denom
         align = aux.get("alignment_loss")
         align_weight = (
@@ -371,6 +376,11 @@ class EmotionTrainer:
             raise ValueError(
                 f"TrainConfig.remat must be False, True, 'full', 'dots' or "
                 f"'off'; got {self.tc.remat!r}"
+            )
+        if not isinstance(self.tc.grad_accum, int) or self.tc.grad_accum < 1:
+            raise ValueError(
+                f"TrainConfig.grad_accum must be an int >= 1; "
+                f"got {self.tc.grad_accum!r}"
             )
 
     def _build_steps(self):
@@ -462,17 +472,116 @@ class EmotionTrainer:
                 else:
                     forward = jax.checkpoint(forward)
 
-            def loss_fn(params):
-                outputs, aux, updates = forward(params, video, audio)
-                total, cls_loss, contrastive = self._losses(
-                    outputs, aux, labels, valid
-                )
-                preds = jnp.argmax(outputs, axis=1)
-                return total, (cls_loss, contrastive, preds, updates)
+            accum = int(self.tc.grad_accum)
+            if accum == 1:
 
-            (total, (cls_loss, contrastive, preds, updates)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            )
+                def loss_fn(params):
+                    outputs, aux, updates = forward(params, video, audio)
+                    total, cls_loss, contrastive = self._losses(
+                        outputs, aux, labels, valid
+                    )
+                    preds = jnp.argmax(outputs, axis=1)
+                    return total, (cls_loss, contrastive, preds, updates)
+
+                (total, (cls_loss, contrastive, preds, updates)), grads = (
+                    jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                )
+            else:
+                # Gradient accumulation (TrainConfig.grad_accum): scan over
+                # `accum` equal microbatches so only one microbatch's
+                # activations are ever live.  Exactness contract: each
+                # microbatch's classification loss is normalized by the FULL
+                # batch's valid count (denom_g), so summed contributions
+                # reproduce the full-batch cls loss and gradient bit-for-
+                # the-math (float reassociation aside); the batch-level
+                # alignment term combines as the mean over microbatches.
+                # BN stats chain through the scan carry (per-microbatch —
+                # the standard grad-accum semantics).  Dropout streams fold
+                # the microbatch index so masks decorrelate.
+                bsz = video.shape[0]
+                if bsz % accum:
+                    raise ValueError(
+                        f"batch size {bsz} not divisible by grad_accum {accum}"
+                    )
+                mb = bsz // accum
+                denom_g = jnp.maximum(
+                    jnp.sum(valid.astype(jnp.float32)), 1.0
+                )
+                a_w = (
+                    self.mc.fusion_align_weight
+                    if self.mc.fusion_align_mode != "none"
+                    else 0.0
+                )
+
+                def forward_m(params, bstats, mv, ma, mrngs):
+                    params = jax.tree_util.tree_map(
+                        lambda p, t: p if t > 0 else jax.lax.stop_gradient(p),
+                        params,
+                        ever_trainable,
+                    )
+                    variables = {"params": params, "batch_stats": bstats}
+                    return self._apply(
+                        variables, mv, ma, True, mrngs, mutable=True
+                    )
+
+                if self.tc.remat not in (False, "off"):
+                    if self.tc.remat == "dots":
+                        forward_m = jax.checkpoint(
+                            forward_m,
+                            policy=jax.checkpoint_policies.checkpoint_dots,
+                        )
+                    else:
+                        forward_m = jax.checkpoint(forward_m)
+
+                def micro(carry, xs):
+                    bstats, g_acc, cls_acc, ctr_acc = carry
+                    mv, ma, ml, mvld, midx = xs
+                    mrngs = {
+                        k: jax.random.fold_in(v, midx) for k, v in rngs.items()
+                    }
+
+                    def lf(params):
+                        out, aux, upd = forward_m(params, bstats, mv, ma, mrngs)
+                        _, cls_i, ctr_i = self._losses(
+                            out, aux, ml, mvld, denom=denom_g
+                        )
+                        gobj = cls_i + a_w * ctr_i / accum
+                        return gobj, (cls_i, ctr_i, jnp.argmax(out, axis=1), upd)
+
+                    (_, (cls_i, ctr_i, preds_i, upd)), g_i = (
+                        jax.value_and_grad(lf, has_aux=True)(state.params)
+                    )
+                    new_carry = (
+                        upd.get("batch_stats", bstats),
+                        jax.tree_util.tree_map(jnp.add, g_acc, g_i),
+                        cls_acc + cls_i,
+                        ctr_acc + ctr_i / accum,
+                    )
+                    return new_carry, preds_i
+
+                def _mb(x):
+                    return x.reshape(accum, mb, *x.shape[1:])
+
+                init = (
+                    state.batch_stats,
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                    jnp.float32(0.0),
+                    jnp.float32(0.0),
+                )
+                (bs_final, grads, cls_loss, contrastive), preds_mb = lax.scan(
+                    micro,
+                    init,
+                    (
+                        _mb(video),
+                        _mb(audio),
+                        _mb(labels),
+                        _mb(valid),
+                        jnp.arange(accum, dtype=jnp.uint32),
+                    ),
+                )
+                total = cls_loss + a_w * contrastive
+                preds = preds_mb.reshape(bsz)
+                updates = {"batch_stats": bs_final}
             # Static optimizer scope (companion of the static AD scope):
             # Adam runs ONLY on leaves trainable in SOME stage of this run.
             # `ever_trainable` is trace-time static, never-trainable leaves

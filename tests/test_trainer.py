@@ -499,6 +499,80 @@ class TestStaticAdScope:
             )
 
 
+class TestGradAccum:
+    """`TrainConfig.grad_accum` (round 5): scan over microbatches, ONE
+    optimizer step.  Exactness probe: a batch made of the SAME microbatch
+    duplicated `accum` times, on a config with no stochastic ops
+    (fusion=late + mean pooling + spec_augment off -> deterministic train
+    forward), must produce IDENTICAL updated params to a grad_accum=1 step
+    on the single microbatch — each microbatch sees the same BN stats and
+    contributes S_0/denom_g with denom_g = accum * vc_0, so the combined
+    gradient equals the single-microbatch gradient exactly."""
+
+    def test_duplicated_microbatch_matches_single_shot(self):
+        cfg = _small_model_cfg("late", temporal_pooling="mean")
+        batch = _toy_batches(1)[0]
+        v0, a0 = batch.video, batch.audio
+        l0, m0 = batch.labels, batch.valid
+
+        results = []
+        for accum, reps in ((1, 1), (2, 2), (4, 4)):
+            tc = TrainConfig(lr=1e-3, donate_buffers=False, grad_accum=accum)
+            trainer = EmotionTrainer(cfg, tc)
+            state = trainer.init_state()
+            mask = trainable_mask(state.params, cfg, tc, stage=0)
+            lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+            args = (
+                jnp.asarray(np.concatenate([v0] * reps)),
+                jnp.asarray(np.concatenate([a0] * reps)),
+                jnp.asarray(np.concatenate([l0] * reps)),
+                jnp.asarray(np.concatenate([m0] * reps)),
+            )
+            state, total, *_ = trainer._train_step(state, *args, mask, lrs)
+            results.append(
+                (float(total), flatten_dict(jax.device_get(state.params)))
+            )
+        (t1, p1), (t2, p2), (t4, p4) = results
+        assert abs(t2 - t1) < 1e-5 and abs(t4 - t1) < 1e-5, (t1, t2, t4)
+        for k in p1:
+            np.testing.assert_allclose(
+                np.asarray(p2[k]), np.asarray(p1[k]), atol=2e-6, err_msg=str(k)
+            )
+            np.testing.assert_allclose(
+                np.asarray(p4[k]), np.asarray(p1[k]), atol=2e-6, err_msg=str(k)
+            )
+
+    def test_stochastic_config_trains(self):
+        """xattn (dropout + drop-path active) under grad_accum=2: steps run,
+        losses are finite, and the loss decreases over a few steps."""
+        cfg = _small_model_cfg(
+            "xattn", xattn_attn_dropout=0.1, xattn_stochastic_depth=0.1
+        )
+        tc = TrainConfig(lr=1e-3, donate_buffers=False, grad_accum=2)
+        trainer = EmotionTrainer(cfg, tc)
+        state = trainer.init_state()
+        mask = trainable_mask(state.params, cfg, tc, stage=0)
+        lrs = lr_tree(state.params, cfg, tc, stage=0, scale={})
+        batch = _toy_batches(1)[0]
+        args = (
+            jnp.asarray(batch.video),
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.valid),
+        )
+        losses = []
+        for _ in range(4):
+            state, total, *_ = trainer._train_step(state, *args, mask, lrs)
+            losses.append(float(total))
+        assert all(np.isfinite(losses)), losses
+        assert min(losses[1:]) < losses[0], losses
+
+    def test_invalid_grad_accum_raises(self):
+        cfg = _small_model_cfg("concat")
+        with pytest.raises(ValueError, match="grad_accum"):
+            EmotionTrainer(cfg, TrainConfig(grad_accum=0))
+
+
 class TestRematEquivalence:
     """`TrainConfig.remat` (False / "dots" / True) only changes WHAT the
     backward saves vs recomputes — jax.checkpoint recomputes the identical
